@@ -1,0 +1,45 @@
+"""Frozen render configuration.
+
+Replaces the reference's compile-time #defines + GLSL uniform defaults
+(main.cpp:57-69, black_hole.frag:19-39).  One hashable dataclass; it is a
+static argument under jit, so changing a field recompiles (like editing a
+#define and rebuilding — but cached).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from . import camera as cam_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 1280  # main.cpp:25
+    height: int = 720  # main.cpp:26
+    max_steps: int = 100  # main.cpp:68
+    max_revolutions: int = 2  # main.cpp:69
+    u_f: float = 0.01  # black_hole.frag:22
+    # Stochastic pixel skip ("noise optimization", frag:39,879-881).
+    # < 0 disables skipping entirely (all curved pixels march).
+    percent_black: float = 0.75  # main.cpp:66
+    # "glsl": the reference's fract(sin(dot)) hash — deterministic, seedless;
+    # "prng": seeded threefry (deterministic per seed, better statistics).
+    noise_mode: str = "glsl"
+    noise_seed: int = 0
+    raytrace_type: int = cam_mod.CURVED  # frag:36
+    curved_percentage: float = 0.5  # frag:37
+    crosshair: bool = False  # frag:24
+    # Reverse-mode memory: checkpoint the march every this many RK4 steps
+    # (sqrt-style rematerialization); 0 = no checkpointing (scan stores all).
+    checkpoint_every: int = 10
+    # Number of slots in the fixed-size test-ray points buffer (frag:182 says
+    # MAX_POINTS 1000 but the CPU integrator emits at most max_steps+1 points,
+    # main.cpp:108-123).
+    test_ray_capacity: int = 101
+
+    @property
+    def max_angle(self) -> float:
+        import math
+
+        return 2.0 * float(self.max_revolutions) * math.pi

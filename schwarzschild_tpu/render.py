@@ -1,0 +1,302 @@
+"""The differentiable jnp renderer — the correctness twin of the Pallas kernel.
+
+This is the per-pixel program of black_hole.frag:843-936 re-expressed as a
+dense, branch-free state machine over the whole ray batch:
+
+  * GLSL ``break``/``return`` become per-ray status flags updated with
+    ``jnp.where`` (no data-dependent control flow under jit);
+  * the march is a (checkpointed) ``lax.scan`` over RK4 steps;
+  * the three "finish flat" exits inside the loop (far-field miss, far-field
+    radial, initial flat/radial/mode pixels) are deferred: the ray freezes and
+    a single vectorized flat-intersection pass runs once after the loop —
+    additive color composition makes this exactly equivalent to the
+    reference's early returns;
+  * the stochastic pixel skip (frag:879-881) uses the exact GLSL hash by
+    default, seeded JAX PRNG optionally.
+
+Everything is differentiable w.r.t. camera pose/fov, r_s (black-hole mass),
+scene parameters, and texture data.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import camera as cam_mod
+from . import geometry as geo
+from . import physics
+from .config import RenderConfig
+from .intersect import TestRay, intersect_scene
+from .scene import Scene
+from .shading import (
+    CROSSHAIR_COLOR,
+    crosshair_mask,
+    get_background,
+    shade,
+)
+from .textures import Texture, TextureStack
+
+
+def glsl_rand(co):
+    """fract(sin(dot(co, (12.9898, 78.233))) * 43758.5453) in f32
+    (black_hole.frag:839-841)."""
+    s = jnp.sin(co[..., 0] * jnp.float32(12.9898) + co[..., 1] * jnp.float32(78.233))
+    x = s * jnp.float32(43758.5453)
+    return x - jnp.floor(x)
+
+
+class MarchState(NamedTuple):
+    active: jnp.ndarray  # (...,) bool — still marching
+    u: jnp.ndarray
+    du: jnp.ndarray
+    phi: jnp.ndarray
+    normal_vec: jnp.ndarray  # (..., 3)
+    tangent_vec: jnp.ndarray  # (..., 3)
+    pos: jnp.ndarray  # (..., 3) current ray origin
+    direction: jnp.ndarray  # (..., 3)
+    color: jnp.ndarray  # (..., 4) accumulated
+    flat_finish: jnp.ndarray  # (...,) bool — run flat intersect at the end
+    add_bg: jnp.ndarray  # (...,) bool — add background at the end
+
+
+def _march_step(
+    state: MarchState,
+    i,
+    sc: Scene,
+    cfg: RenderConfig,
+    r_s,
+    tex: Optional[TextureStack],
+    test_ray: Optional[TestRay],
+):
+    """One iteration of the marching loop (frag:890-933)."""
+    f32 = jnp.float32
+    max_angle = f32(cfg.max_angle)
+    max_steps = f32(cfg.max_steps)
+    u_f = f32(cfg.u_f)
+
+    active = state.active
+    where = lambda m, a, b: jnp.where(m, a, b)
+    wherev = lambda m, a, b: jnp.where(m[..., None], a, b)
+
+    # --- far-field flat-space approximation (frag:891-912) ---
+    ff = active & (state.u < u_f)
+    from .intersect import black_hole_candidate
+
+    big = black_hole_candidate(
+        state.pos, state.direction, jnp.full(state.u.shape, -1.0, f32), 1.0 / u_f
+    )
+    big_valid = big.valid[..., 0]
+    big_point = big.point[..., 0, :]
+    new_n = geo.safe_normalize(jnp.where(big_valid[..., None], big_point,
+                                         jnp.ones_like(big_point)))
+    radial = physics.is_radial(state.direction, new_n)
+    finish_flat = ff & (~big_valid | radial)
+    reinit = ff & big_valid & ~radial
+
+    new_t = geo.safe_normalize(geo.cross(geo.cross(new_n, state.direction), new_n))
+    t_safe = jnp.where(
+        jnp.abs(geo.dot(state.direction, new_t)) < 1e-20, 1e-20,
+        geo.dot(state.direction, new_t),
+    )
+    new_u = 1.0 / jnp.maximum(geo.length(big_point), 1e-20)
+    new_du = -new_u * geo.dot(state.direction, new_n) / t_safe
+
+    normal_vec = wherev(reinit, new_n, state.normal_vec)
+    tangent_vec = wherev(reinit, new_t, state.tangent_vec)
+    u = where(reinit, new_u, state.u)
+    du = where(reinit, new_du, state.du)
+    active = active & ~finish_flat
+    flat_finish = state.flat_finish | finish_flat
+
+    # --- RK4 step (frag:914-919) ---
+    step = (max_angle - state.phi) / (max_steps - i.astype(f32))
+    phi = state.phi + step
+    d_u, d_du = physics.rk4_step(u, du, step, r_s)
+    u_new = u + d_u
+    du_new = du + d_du
+
+    escaped = active & (u_new < 0.0)  # frag:921-922 — dir stays pre-step
+    add_bg = state.add_bg | escaped
+    active = active & ~escaped
+
+    # --- reconstruct segment (frag:924-928) ---
+    u_rec = jnp.where(jnp.abs(u_new) < 1e-20, 1e-20, u_new)
+    new_pos = physics.reconstruct_position(phi, u_rec, normal_vec, tangent_vec)
+    delta = new_pos - state.pos
+    seg_len = geo.safe_length(delta)
+    new_dir = delta / seg_len[..., None]
+
+    # --- segment intersection + shading (frag:930-932) ---
+    hit = intersect_scene(state.pos, new_dir, seg_len, sc, r_s, test_ray)
+    rgba = shade(hit, -new_dir, sc, tex)
+    seg_color = jnp.where((hit.valid & active)[..., None], rgba,
+                          jnp.zeros_like(rgba))
+    color = state.color + seg_color
+    opaque = active & hit.valid & (rgba[..., 3] == 1.0)
+    active = active & ~opaque
+
+    # Frozen rays keep their previous pos/dir/u/du/phi.
+    moved = active | opaque  # rays that executed the reconstruction this step
+    return MarchState(
+        active=active,
+        u=where(moved, u_new, state.u),
+        du=where(moved, du_new, state.du),
+        phi=where(moved, phi, state.phi),
+        normal_vec=normal_vec,
+        tangent_vec=tangent_vec,
+        pos=wherev(moved, new_pos, state.pos),
+        # Escaped rays keep the pre-step dir: the GLSL break at frag:921-922
+        # fires before this iteration's reconstruction.
+        direction=wherev(moved, new_dir, state.direction),
+        color=color,
+        flat_finish=flat_finish,
+        add_bg=add_bg,
+    )
+
+
+def render(
+    sc: Scene,
+    cam: cam_mod.Camera,
+    cfg: RenderConfig,
+    background: Texture,
+    tex: Optional[TextureStack] = None,
+    r_s=1.0,
+    test_ray: Optional[TestRay] = None,
+) -> jnp.ndarray:
+    """Render an (H, W, 4) image.  Jit with cfg static:
+
+        jit_render = jax.jit(render, static_argnames="cfg")
+    """
+    f32 = jnp.float32
+    r_s = jnp.asarray(r_s, f32)
+    H, W = cfg.height, cfg.width
+
+    u_ndc, v_ndc = cam_mod.pixel_grid(W, H)
+    origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc, W, H)
+    batch = u_ndc.shape
+
+    base = jnp.zeros(batch + (4,), f32)
+    if cfg.crosshair:
+        ch = crosshair_mask(u_ndc, v_ndc, W, H)
+        base = jnp.where(ch[..., None], jnp.array(CROSSHAIR_COLOR, f32), base)
+
+    # Mode / radial dispatch (frag:866-878).
+    if cfg.raytrace_type == cam_mod.FLAT:
+        mode_flat = jnp.ones(batch, bool)
+    elif cfg.raytrace_type == cam_mod.HALF_WIDTH:
+        mode_flat = u_ndc > 2.0 * cfg.curved_percentage - 1.0
+    elif cfg.raytrace_type == cam_mod.HALF_HEIGHT:
+        mode_flat = v_ndc > 2.0 * cfg.curved_percentage - 1.0
+    else:
+        mode_flat = jnp.zeros(batch, bool)
+
+    normal_vec0 = geo.safe_normalize(origin)
+    radial0 = physics.is_radial(direction, normal_vec0)
+    flat_px = mode_flat | radial0
+
+    # Noise skip (frag:879-881): curved pixels only; skipped pixels stay black.
+    uv_vec = jnp.stack([u_ndc, v_ndc * (H / W)], axis=-1)
+    if cfg.percent_black >= 0.0 and cfg.noise_mode != "none":
+        if cfg.noise_mode == "glsl":
+            rnd = glsl_rand(uv_vec)
+        elif cfg.noise_mode == "prng":
+            rnd = jax.random.uniform(jax.random.key(cfg.noise_seed), batch)
+        else:
+            raise ValueError(f"unknown noise_mode {cfg.noise_mode!r}")
+        noise_skip = ~flat_px & (rnd <= f32(cfg.percent_black))
+    else:
+        noise_skip = jnp.zeros(batch, bool)
+
+    march_px = ~flat_px & ~noise_skip
+
+    # Initial orbital-plane state (frag:883-887).
+    tangent_vec0 = geo.safe_normalize(
+        geo.cross(geo.cross(normal_vec0, direction), normal_vec0)
+    )
+    u0 = 1.0 / geo.length(origin)
+    dt0 = geo.dot(direction, tangent_vec0)
+    dt0 = jnp.where(jnp.abs(dt0) < 1e-20, 1e-20, dt0)
+    du0 = -u0 * geo.dot(direction, normal_vec0) / dt0
+
+    state = MarchState(
+        active=march_px,
+        u=u0,
+        du=du0,
+        phi=jnp.zeros(batch, f32),
+        normal_vec=normal_vec0,
+        tangent_vec=tangent_vec0,
+        pos=origin,
+        direction=direction,
+        color=jnp.zeros(batch + (4,), f32),
+        flat_finish=jnp.zeros(batch, bool),
+        add_bg=jnp.zeros(batch, bool),
+    )
+
+    if cfg.raytrace_type != cam_mod.FLAT:
+        state = _run_march(state, sc, cfg, r_s, tex, test_ray)
+
+    # Exhausted marchers get the background (frag:935).
+    add_bg = state.add_bg | state.active
+
+    # Deferred flat pass (frag:874-877, 894-899, 903-907): initial flat pixels
+    # trace their pristine camera ray; far-field finishers trace their frozen
+    # (pos, dir).
+    do_flat = flat_px | state.flat_finish
+    flat_hit = intersect_scene(
+        state.pos, state.direction, jnp.full(batch, -1.0, f32), sc, r_s, test_ray
+    )
+    flat_rgba = shade(flat_hit, -state.direction, sc, tex)
+    flat_color = jnp.where((flat_hit.valid & do_flat)[..., None], flat_rgba,
+                           jnp.zeros(batch + (4,), f32))
+    flat_needs_bg = do_flat & (flat_color[..., 3] != 1.0)
+
+    bg = get_background(background, state.direction)
+    color = state.color + flat_color
+    color = color + jnp.where((flat_needs_bg | add_bg)[..., None], bg,
+                              jnp.zeros_like(bg))
+
+    return base + color
+
+
+def _run_march(state, sc, cfg, r_s, tex, test_ray):
+    steps = jnp.arange(cfg.max_steps, dtype=jnp.int32)
+
+    def step_fn(carry, i):
+        return _march_step(carry, i, sc, cfg, r_s, tex, test_ray), None
+
+    ck = cfg.checkpoint_every
+    if ck and ck < cfg.max_steps:
+        n_chunks = -(-cfg.max_steps // ck)
+        pad = n_chunks * ck - cfg.max_steps
+        # Pad with index repeats that produce step size 0 -> harmless?  No:
+        # step 0 still runs intersection.  Instead require divisibility.
+        if pad:
+            raise ValueError(
+                f"checkpoint_every={ck} must divide max_steps={cfg.max_steps}"
+            )
+
+        def chunk_fn(carry, idx_chunk):
+            out, _ = jax.lax.scan(step_fn, carry, idx_chunk)
+            return out, None
+
+        state, _ = jax.lax.scan(
+            jax.checkpoint(chunk_fn), state, steps.reshape(n_chunks, ck)
+        )
+    else:
+        state, _ = jax.lax.scan(step_fn, state, steps)
+    return state
+
+
+def to_uint8(img) -> "jnp.ndarray":
+    """Clamp and quantize like the display framebuffer."""
+    return (jnp.clip(img[..., :3], 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+
+def save_png(img, path):
+    import numpy as np
+    from PIL import Image
+
+    Image.fromarray(np.asarray(to_uint8(img))).save(path)

@@ -1,0 +1,197 @@
+"""Phong shading, UV transforms, normal maps, and the equirect background.
+
+Replaces black_hole.frag:365-438 (calculate_lighting) and 829-837 (get_bg),
+fully vectorized and branchless over ray batches.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from . import geometry as geo
+from .intersect import Hit
+from .scene import (
+    OBJECT_TYPE_PLANE,
+    OBJECT_TYPE_SPECIAL,
+    OBJECT_TYPE_TEST_RAY_CURVED,
+    OBJECT_TYPE_TEST_RAY_FLAT,
+    Scene,
+)
+from .textures import Texture, TextureStack, sample_stack, sample_texture
+
+TEST_RAY_CURVED_COLOR = (1.0, 0.0, 0.0, 1.0)  # frag:191
+TEST_RAY_FLAT_COLOR = (0.0, 1.0, 0.0, 1.0)  # frag:192
+
+
+def _gather(soa_field, idx):
+    return soa_field[idx]
+
+
+def shade(
+    hit: Hit,
+    view_dir,
+    sc: Scene,
+    tex: Optional[TextureStack] = None,
+) -> jnp.ndarray:
+    """Lighting for a batch of hits; returns RGBA (..., 4).
+
+    ``view_dir`` points from the surface towards the camera (-ray.dir,
+    frag:818).  Result is only meaningful where ``hit.valid``; callers mask.
+    """
+    m = sc.materials
+    mi = jnp.clip(hit.mat_idx, 0, m.color.shape[0] - 1)
+    color = _gather(m.color, mi)
+    ambient = _gather(m.ambient, mi)
+    diffuse_k = _gather(m.diffuse, mi)
+    specular_k = _gather(m.specular, mi)
+    shininess = _gather(m.shininess, mi)
+    texture_index = _gather(m.texture_index, mi)
+    normal_map_index = _gather(m.normal_map_index, mi)
+    invert_uv_x = _gather(m.invert_uv_x, mi)
+    invert_uv_y = _gather(m.invert_uv_y, mi)
+    swap_uvs = _gather(m.swap_uvs, mi)
+    double_sided = _gather(m.double_sided_normals, mi)
+    flip_normals = _gather(m.flip_normals, mi)
+
+    # flip_normals (frag:371).
+    normal = jnp.where(flip_normals[..., None], -hit.normal, hit.normal)
+
+    # Single-sided cull (frag:372): returns transparent black.
+    culled = (~double_sided) & (geo.dot(normal, view_dir) < 0.0)
+
+    # UV transforms (frag:373-380): first swap, then invert; inversion uses
+    # the plane's texture_size for planes, 1 otherwise.
+    uv = hit.uv
+    uv = jnp.where(swap_uvs[..., None], uv[..., ::-1], uv)
+    is_plane = hit.obj_type == OBJECT_TYPE_PLANE
+    inv_extent = jnp.where(
+        is_plane[..., None], hit.plane_tex_size, jnp.ones_like(hit.plane_tex_size)
+    )
+    ux = jnp.where(invert_uv_x, inv_extent[..., 0] - uv[..., 0], uv[..., 0])
+    uy = jnp.where(invert_uv_y, inv_extent[..., 1] - uv[..., 1], uv[..., 1])
+    uv = jnp.stack([ux, uy], axis=-1)
+
+    base_color = color
+    if tex is not None:
+        tex_sizes = _gather(tex.sizes, jnp.clip(texture_index, 0, tex.sizes.shape[0] - 1))
+        rescaled_uv = uv * tex_sizes / tex.max_size
+
+        # Plane texture tiling window (frag:387-400).
+        plane_uv_src = rescaled_uv - hit.plane_tex_offset
+        plane_window_uv = plane_uv_src / jnp.maximum(hit.plane_tex_size, 1e-20)
+        plane_tiled = jnp.mod(plane_uv_src, hit.plane_tex_size) / jnp.maximum(
+            hit.plane_tex_size, 1e-20
+        )
+        in_window = (
+            (plane_window_uv[..., 0] >= 0.0)
+            & (plane_window_uv[..., 0] <= 1.0)
+            & (plane_window_uv[..., 1] >= 0.0)
+            & (plane_window_uv[..., 1] <= 1.0)
+        )
+        render_color = jnp.where(is_plane, hit.plane_repeat | in_window, True)
+        sample_uv = jnp.where(is_plane[..., None], plane_tiled, rescaled_uv)
+
+        sampled = sample_stack(tex, texture_index, sample_uv[..., 0], sample_uv[..., 1])
+        use_tex = (texture_index >= 0) & render_color
+        base_color = jnp.where(use_tex[..., None], sampled, color)
+
+        # Normal map (frag:408-413): note the reference uses the RAW rgb in
+        # [0,1] (no *2-1 decode) — reproduced faithfully.
+        nm_sizes = _gather(
+            tex.sizes, jnp.clip(normal_map_index, 0, tex.sizes.shape[0] - 1)
+        )
+        nm_uv = uv * nm_sizes / tex.max_size
+        nm_rgb = sample_stack(tex, normal_map_index, nm_uv[..., 0], nm_uv[..., 1])[..., :3]
+        ts_normal = (
+            nm_rgb[..., 0:1] * hit.tangent
+            + nm_rgb[..., 1:2] * hit.bitangent
+            + nm_rgb[..., 2:3] * normal
+        )
+        mapped = geo.safe_normalize(ts_normal)
+        normal = jnp.where((normal_map_index >= 0)[..., None], mapped, normal)
+
+    final_rgb = ambient[..., None] * base_color[..., :3]  # frag:406
+
+    # Lights (frag:415-435).
+    lt = sc.lights
+    n_lights = lt.pos.shape[0]
+    for i in range(n_lights):
+        lpos = lt.pos[i]
+        to_light = lpos - hit.point
+        distance = geo.safe_length(to_light)
+        light_dir = to_light / distance[..., None]
+        attenuation = 1.0 / (
+            lt.attenuation_constant[i]
+            + lt.attenuation_linear[i] * distance
+            + lt.attenuation_quadratic[i] * distance * distance
+        )
+        diff = jnp.maximum(geo.dot(normal, light_dir), 0.0)
+        diffuse = diffuse_k[..., None] * diff[..., None] * lt.color[i] * base_color[..., :3]
+
+        reflect_dir = geo.reflect(-light_dir, normal)
+        spec_dot = jnp.maximum(geo.dot(view_dir, reflect_dir), 0.0)
+        spec = jnp.where(
+            spec_dot > 0.0, jnp.maximum(spec_dot, 1e-30) ** shininess, 0.0
+        )
+        specular = specular_k[..., None] * spec[..., None] * lt.color[i]
+
+        final_rgb = final_rgb + (diffuse + specular) * (
+            attenuation * lt.intensity[i]
+        )[..., None]
+
+    lit = jnp.concatenate([final_rgb, base_color[..., 3:4]], axis=-1)
+    lit = jnp.where(culled[..., None], jnp.zeros_like(lit), lit)
+
+    # Special types (frag:366-368).
+    out = lit
+    out = jnp.where(
+        (hit.obj_type == OBJECT_TYPE_SPECIAL)[..., None],
+        jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+        out,
+    )
+    out = jnp.where(
+        (hit.obj_type == OBJECT_TYPE_TEST_RAY_CURVED)[..., None],
+        jnp.array(TEST_RAY_CURVED_COLOR, jnp.float32),
+        out,
+    )
+    out = jnp.where(
+        (hit.obj_type == OBJECT_TYPE_TEST_RAY_FLAT)[..., None],
+        jnp.array(TEST_RAY_FLAT_COLOR, jnp.float32),
+        out,
+    )
+    return out
+
+
+def get_background(bg: Texture, direction) -> jnp.ndarray:
+    """Equirectangular sky sample of a unit direction (frag:829-837)."""
+    u = jnp.arctan2(direction[..., 2], direction[..., 0]) / jnp.pi
+    u = jnp.where(u < 0.0, u + 2.0, u) * 0.5
+    # 1e-7 clip margin keeps asin' finite for exactly-polar directions.
+    v = jnp.arcsin(jnp.clip(direction[..., 1], -1.0 + 1e-7, 1.0 - 1e-7)) / jnp.pi + 0.5
+    return sample_texture(bg, u, v)
+
+
+# Crosshair overlay constants (frag:25-28).
+CROSSHAIR_LENGTH = 10.0
+CROSSHAIR_WIDTH = 2.0
+CROSSHAIR_SPACE = 5.0
+CROSSHAIR_COLOR = (0.5, 0.5, 0.5, 0.5)
+
+
+def crosshair_mask(u, v, width, height):
+    """Pixel-space crosshair test (frag:845-855); u, v are the NDC coords."""
+    px = jnp.abs(u * width / 2.0)
+    py = jnp.abs(v * height / 2.0)
+    vertical = (
+        (px < CROSSHAIR_WIDTH / 2.0)
+        & (py > CROSSHAIR_SPACE)
+        & (py < CROSSHAIR_LENGTH + CROSSHAIR_SPACE)
+    )
+    horizontal = (
+        (py < CROSSHAIR_WIDTH / 2.0)
+        & (px > CROSSHAIR_SPACE)
+        & (px < CROSSHAIR_LENGTH + CROSSHAIR_SPACE)
+    )
+    return vertical | horizontal

@@ -1,0 +1,173 @@
+"""Texture loading and differentiable bilinear sampling.
+
+Replaces /root/reference/src/lib/image_utils/image_utils.cpp + the GLSL
+``texture()`` calls (black_hole.frag:403,411,836).  Semantics preserved:
+
+  * every image is flipped vertically on load (stbi_set_flip_vertically_on_load
+    is set once in loadTexture, image_utils.cpp:22, and stays set for the
+    texture-array loads) — so texture row 0 is the BOTTOM row of the image;
+  * the texture array pads every image to the common max width/height; padded
+    texels are (0, 0, 0, 0) — the "(c==3)?255:0" default only applies to
+    missing channels of valid texels (image_utils.cpp:89-98);
+  * per-texture true sizes are uploaded so shaders rescale UVs by
+    ``texture_sizes[i]/max_texture_size`` (black_hole.frag:384);
+  * sampling is GL_LINEAR with GL_REPEAT wrap on both axes (base mip level —
+    the reference generates mipmaps but the shader samples at implicit LOD in a
+    loop, and our renderer has no screen-space derivatives; bilinear at level 0
+    is the parity target defined by the float64 oracle).
+
+The sampler is plain gather + lerp, hence differentiable w.r.t. the texel data
+— this is the "differentiable bilinear HBM gather" of the north star.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class Texture(NamedTuple):
+    """A single 2D RGBA texture: data (H, W, 4) float32 in [0, 1],
+    row 0 = bottom (GL convention after the load-time flip)."""
+
+    data: jnp.ndarray
+
+
+class TextureStack(NamedTuple):
+    """Padded texture array + per-texture true sizes
+    (the ``sampler2DArray`` + ``texture_sizes[]`` + ``max_texture_size``
+    uniforms, black_hole.frag:67-70)."""
+
+    data: jnp.ndarray  # (T, Hmax, Wmax, 4) float32
+    sizes: jnp.ndarray  # (T, 2) float32 — (width, height)
+    max_size: jnp.ndarray  # (2,) float32 — (Wmax, Hmax)
+
+
+def load_image(path) -> np.ndarray:
+    """Decode an image file to (H, W, C) uint8 with row 0 = top."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if im.mode not in ("RGB", "RGBA", "L"):
+            im = im.convert("RGBA" if "A" in im.mode else "RGB")
+        arr = np.asarray(im)
+    if arr.ndim == 2:
+        arr = arr[..., None].repeat(3, axis=-1)
+    return arr
+
+
+def _to_gl_rgba_f32(arr: np.ndarray) -> np.ndarray:
+    """uint8 (H, W, C) top-down -> float32 (H, W, 4) bottom-up in [0, 1]."""
+    arr = arr[::-1]  # y-flip (image_utils.cpp:22)
+    h, w, c = arr.shape
+    out = np.zeros((h, w, 4), np.float32)
+    out[..., :c] = arr.astype(np.float32) / 255.0
+    if c < 4:
+        out[..., 3] = 1.0
+    return out
+
+
+def load_texture(path) -> Texture:
+    """Single 2D texture (image_utils.cpp:7-40)."""
+    return Texture(data=jnp.asarray(_to_gl_rgba_f32(load_image(path))))
+
+
+def from_array(arr) -> Texture:
+    """Texture from an (H, W, 3|4) float array already in [0, 1], row 0 = top
+    (flipped here to GL convention)."""
+    arr = np.asarray(arr, np.float32)[::-1]
+    if arr.shape[-1] == 3:
+        arr = np.concatenate([arr, np.ones(arr.shape[:-1] + (1,), np.float32)], -1)
+    return Texture(data=jnp.asarray(arr))
+
+
+def load_texture_array(paths: Sequence[str]) -> TextureStack:
+    """Padded texture stack (image_utils.cpp:42-117)."""
+    raws = [load_image(p) for p in paths]
+    return stack_textures(raws)
+
+
+def stack_textures(raw_images: Sequence[np.ndarray]) -> TextureStack:
+    """Pack top-down uint8 (H, W, C) images into a padded GL-convention stack."""
+    max_h = max(im.shape[0] for im in raw_images)
+    max_w = max(im.shape[1] for im in raw_images)
+    n = len(raw_images)
+    data = np.zeros((n, max_h, max_w, 4), np.float32)  # padding = (0,0,0,0)
+    sizes = np.zeros((n, 2), np.float32)
+    for i, im in enumerate(raw_images):
+        gl = _to_gl_rgba_f32(im)
+        h, w, _ = gl.shape
+        data[i, :h, :w] = gl
+        sizes[i] = (w, h)
+    return TextureStack(
+        data=jnp.asarray(data),
+        sizes=jnp.asarray(sizes),
+        max_size=jnp.asarray(np.array([max_w, max_h], np.float32)),
+    )
+
+
+def _bilinear_gather(data, u, v):
+    """GL_LINEAR + GL_REPEAT sample of ``data`` (H, W, 4) at normalized
+    (u, v); u, v broadcast over any batch shape.  Follows the GL convention:
+    texel centers at (i + 0.5)/W."""
+    h, w = data.shape[-3], data.shape[-2]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    y1i = jnp.mod(y0i + 1, h)
+
+    c00 = data[y0i, x0i]
+    c10 = data[y0i, x1i]
+    c01 = data[y1i, x0i]
+    c11 = data[y1i, x1i]
+    # lerp chains keep exact endpoints (1 stays exactly 1 for opaque alphas).
+    top = c00 + fx * (c10 - c00)
+    bot = c01 + fx * (c11 - c01)
+    return top + fy * (bot - top)
+
+
+def sample_texture(tex: Texture, u, v):
+    """``texture(background_texture, uv)`` equivalent."""
+    return _bilinear_gather(tex.data, u, v)
+
+
+def sample_stack(stack: TextureStack, index, u, v):
+    """``texture(textures, vec3(uv, index))`` equivalent.
+
+    ``index`` is a traced int array broadcastable with u/v; indices < 0 are
+    clamped to 0 (callers mask the result, matching the shader's
+    ``texture_index >= 0`` guards at black_hole.frag:383,409)."""
+    idx = jnp.clip(index, 0, stack.data.shape[0] - 1)
+    h, w = stack.data.shape[1], stack.data.shape[2]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    y1i = jnp.mod(y0i + 1, h)
+
+    c00 = stack.data[idx, y0i, x0i]
+    c10 = stack.data[idx, y0i, x1i]
+    c01 = stack.data[idx, y1i, x0i]
+    c11 = stack.data[idx, y1i, x1i]
+    top = c00 + fx * (c10 - c00)
+    bot = c01 + fx * (c11 - c01)
+    return top + fy * (bot - top)
+
+
+def solid_color_texture(rgba, size=4) -> Texture:
+    """Tiny constant texture — handy for tests."""
+    rgba = np.asarray(rgba, np.float32)
+    return Texture(data=jnp.broadcast_to(jnp.asarray(rgba), (size, size, 4)))
