@@ -23,9 +23,11 @@ class RenderConfig:
     # Stochastic pixel skip ("noise optimization", frag:39,879-881).
     # < 0 disables skipping entirely (all curved pixels march).
     percent_black: float = 0.75  # main.cpp:66
-    # "glsl": the reference's fract(sin(dot)) hash — deterministic, seedless;
-    # "prng": seeded threefry (deterministic per seed, better statistics).
-    noise_mode: str = "glsl"
+    # "hash": portable seeded integer hash (canonical — bit-identical on every
+    # backend); "glsl": the reference's fract(sin(dot)) hash (visually
+    # faithful but 1-ulp sin() differences make it backend-dependent);
+    # "prng": seeded threefry.
+    noise_mode: str = "hash"
     noise_seed: int = 0
     raytrace_type: int = cam_mod.CURVED  # frag:36
     curved_percentage: float = 0.5  # frag:37

@@ -572,6 +572,19 @@ def get_bg(osc, direction):
     return _bilinear(osc.background, u, v)
 
 
+def pixel_hash_rand(x, y, width, seed=0):
+    """Portable lowbias32 pixel hash -> uniform [0,1); bit-identical to
+    schwarzschild_tpu.render.pixel_hash_rand."""
+    m = 0xFFFFFFFF
+    h = (y * width + x + ((seed & m) * 0x9E3779B9 & m)) & m
+    h ^= h >> 16
+    h = (h * 0x7FEB352D) & m
+    h ^= h >> 15
+    h = (h * 0x846CA68B) & m
+    h ^= h >> 16
+    return np.float32(h) * np.float32(2.3283064365386963e-10)
+
+
 def glsl_rand_f32(co):
     """The f32 GLSL hash (frag:839-841) — evaluated in float32 like the GPU so
     the skip mask matches the TPU renderer bit-for-bit."""
@@ -651,7 +664,8 @@ def trace_ray(osc: OracleScene, origin, direction, max_steps=100,
 def render_pixel(osc: OracleScene, cam_pos, cam_axes, fov, u_ndc, v_ndc,
                  width, height, max_steps=100, max_revolutions=2, u_f=0.01,
                  percent_black=-1.0, raytrace_type=CURVED,
-                 curved_percentage=0.5, crosshair=False):
+                 curved_percentage=0.5, crosshair=False,
+                 noise_mode="hash", noise_seed=0, pixel_xy=None):
     """frag:843-936 for one pixel; (u_ndc, v_ndc) in (-1, 1)."""
     color = np.zeros(4)
     if crosshair:
@@ -679,8 +693,15 @@ def render_pixel(osc: OracleScene, cam_pos, cam_axes, fov, u_ndc, v_ndc,
         if c[3] != 1.0:
             color = color + get_bg(osc, direction)
         return color
-    if percent_black >= 0.0 and glsl_rand_f32(uv_vec) <= percent_black:
-        return color
+    if percent_black >= 0.0 and noise_mode != "none":
+        if noise_mode == "glsl" or pixel_xy is None:
+            rnd = glsl_rand_f32(uv_vec)
+        elif noise_mode == "hash":
+            rnd = pixel_hash_rand(pixel_xy[0], pixel_xy[1], width, noise_seed)
+        else:
+            raise ValueError(f"unknown noise_mode {noise_mode!r}")
+        if rnd <= percent_black:
+            return color
 
     return color + trace_ray(osc, origin, direction, max_steps,
                              max_revolutions, u_f)
@@ -697,5 +718,6 @@ def render_image(osc: OracleScene, cam_pos, cam_axes, fov, width, height,
         for col in range(width):
             u = (2.0 * col + 1.0) / width - 1.0
             img[row, col] = render_pixel(osc, cam_pos, cam_axes, fov, u, v,
-                                         width, height, **kwargs)
+                                         width, height, pixel_xy=(col, row),
+                                         **kwargs)
     return img

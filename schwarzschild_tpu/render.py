@@ -42,10 +42,33 @@ from .textures import Texture, TextureStack
 
 def glsl_rand(co):
     """fract(sin(dot(co, (12.9898, 78.233))) * 43758.5453) in f32
-    (black_hole.frag:839-841)."""
+    (black_hole.frag:839-841).
+
+    NOT portable: the *43758 amplification turns 1-ulp sin() differences into
+    different masks, so GPU/CPU/TPU all disagree with each other on ~10% of
+    pixels.  Kept for visual faithfulness; the canonical seedable mask is
+    :func:`pixel_hash_rand`.
+    """
     s = jnp.sin(co[..., 0] * jnp.float32(12.9898) + co[..., 1] * jnp.float32(78.233))
     x = s * jnp.float32(43758.5453)
     return x - jnp.floor(x)
+
+
+def pixel_hash_rand(width, height, seed=0):
+    """Deterministic per-pixel uniform in [0, 1): lowbias32 integer hash of
+    the pixel index mixed with the seed.  Bit-identical on every backend —
+    this is the TPU build's replacement for the reference's unportable GLSL
+    hash (SURVEY.md: 'deterministic, seedable mask')."""
+    u32 = jnp.uint32
+    y = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).astype(u32)
+    x = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).astype(u32)
+    h = y * u32(width) + x + u32(seed & 0xFFFFFFFF) * u32(0x9E3779B9)
+    h = h ^ (h >> 16)
+    h = h * u32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * u32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)  # / 2^32
 
 
 class MarchState(NamedTuple):
@@ -202,6 +225,8 @@ def render(
     if cfg.percent_black >= 0.0 and cfg.noise_mode != "none":
         if cfg.noise_mode == "glsl":
             rnd = glsl_rand(uv_vec)
+        elif cfg.noise_mode == "hash":
+            rnd = pixel_hash_rand(W, H, cfg.noise_seed)
         elif cfg.noise_mode == "prng":
             rnd = jax.random.uniform(jax.random.key(cfg.noise_seed), batch)
         else:
