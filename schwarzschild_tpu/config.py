@@ -35,6 +35,14 @@ class RenderConfig:
     # Reverse-mode memory: checkpoint the march every this many RK4 steps
     # (sqrt-style rematerialization); 0 = no checkpointing (scan stores all).
     checkpoint_every: int = 10
+    # Inverse-rendering aid: > 0 smooths the event-horizon silhouette by
+    # giving grazing hits (|cos incidence| < softness) a partial alpha, making
+    # the image CONTINUOUS in r_s/camera so the shadow edge carries usable
+    # gradients.  0.0 (default) = the reference's hard opaque horizon
+    # (exact parity).  Not present in the reference — hard visibility gives
+    # no silhouette gradient at all (SURVEY section 7 "gradients through
+    # discrete events").
+    horizon_softness: float = 0.0
     # Number of slots in the fixed-size test-ray points buffer (frag:182 says
     # MAX_POINTS 1000 but the CPU integrator emits at most max_steps+1 points,
     # main.cpp:108-123).

@@ -81,6 +81,7 @@ class MarchState(NamedTuple):
     pos: jnp.ndarray  # (..., 3) current ray origin
     direction: jnp.ndarray  # (..., 3)
     color: jnp.ndarray  # (..., 4) accumulated
+    captured: jnp.ndarray  # (...,) bool — ended on an opaque horizon hit
     flat_finish: jnp.ndarray  # (...,) bool — run flat intersect at the end
     add_bg: jnp.ndarray  # (...,) bool — add background at the end
 
@@ -161,6 +162,13 @@ def _march_step(
     opaque = active & hit.valid & (rgba[..., 3] == 1.0)
     active = active & ~opaque
 
+    # Track horizon captures so the soft-silhouette composition (inverse
+    # rendering, config.horizon_softness) can substitute (1-alpha)*bg for the
+    # hard black.  Identical to 'opaque' bookkeeping when softness == 0.
+    from .scene import OBJECT_TYPE_SPECIAL
+
+    captured = state.captured | (opaque & (hit.obj_type == OBJECT_TYPE_SPECIAL))
+
     # Frozen rays keep their previous pos/dir/u/du/phi.
     moved = active | opaque  # rays that executed the reconstruction this step
     return MarchState(
@@ -175,6 +183,7 @@ def _march_step(
         # fires before this iteration's reconstruction.
         direction=wherev(moved, new_dir, state.direction),
         color=color,
+        captured=captured,
         flat_finish=flat_finish,
         add_bg=add_bg,
     )
@@ -256,6 +265,7 @@ def render(
         pos=origin,
         direction=direction,
         color=jnp.zeros(batch + (4,), f32),
+        captured=jnp.zeros(batch, bool),
         flat_finish=jnp.zeros(batch, bool),
         add_bg=jnp.zeros(batch, bool),
     )
@@ -279,9 +289,44 @@ def render(
     flat_needs_bg = do_flat & (flat_color[..., 3] != 1.0)
 
     bg = get_background(background, state.direction)
-    color = state.color + flat_color
-    color = color + jnp.where((flat_needs_bg | add_bg)[..., None], bg,
-                              jnp.zeros_like(bg))
+
+    if cfg.horizon_softness > 0.0:
+        # Soft shadow silhouette for inverse rendering: the binary
+        # capture-vs-escape event becomes a smooth coverage
+        # alpha = sigmoid((b_crit - b) / softness) of the photon's impact
+        # parameter b = 1/sqrt(E), E = du0^2 + u0^2 (1 - r_s u0) (conserved
+        # along the geodesic), with the exact shadow radius
+        # b_crit = 3*sqrt(3)/2 * r_s.  Every background contribution is
+        # scaled by (1 - alpha), and horizon captures add the scaled
+        # background instead of staying hard black — the image becomes
+        # CONTINUOUS in r_s and camera pose across the silhouette.
+        s_soft = jnp.float32(cfg.horizon_softness)
+        e0 = du0 * du0 + u0 * u0 * (1.0 - r_s * u0)
+        b_geo = 1.0 / jnp.sqrt(jnp.maximum(e0, 1e-20))
+        b_crit = jnp.float32(1.5 * jnp.sqrt(3.0)) * r_s
+        # Straight-line impact parameter for flat-path pixels: the silhouette
+        # there is the geometric sphere of radius r_s.
+        b_flat = geo.safe_length(geo.cross(state.pos, state.direction))
+        alpha_curved = jax.nn.sigmoid((b_crit - b_geo) / s_soft)
+        alpha_flat = jax.nn.sigmoid((r_s - b_flat) / s_soft)
+        alpha_sh = jnp.where(do_flat, alpha_flat, alpha_curved)
+        bg_scale = (1.0 - alpha_sh)[..., None]
+
+        # Captured rays (hard black under parity) now terminate with scaled
+        # background; flat-path opaque horizon hits likewise.
+        from .scene import OBJECT_TYPE_SPECIAL
+
+        flat_captured = (flat_hit.valid & do_flat
+                         & (flat_hit.obj_type == OBJECT_TYPE_SPECIAL)
+                         & (flat_rgba[..., 3] == 1.0))
+        bg_mask = flat_needs_bg | add_bg | state.captured | flat_captured
+        color = state.color + flat_color
+        color = color + jnp.where(bg_mask[..., None], bg * bg_scale,
+                                  jnp.zeros_like(bg))
+    else:
+        color = state.color + flat_color
+        color = color + jnp.where((flat_needs_bg | add_bg)[..., None], bg,
+                                  jnp.zeros_like(bg))
 
     return base + color
 

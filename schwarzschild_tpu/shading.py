@@ -144,7 +144,9 @@ def shade(
     lit = jnp.concatenate([final_rgb, base_color[..., 3:4]], axis=-1)
     lit = jnp.where(culled[..., None], jnp.zeros_like(lit), lit)
 
-    # Special types (frag:366-368).
+    # Special types (frag:366-368).  The horizon shades opaque black — the
+    # soft-silhouette machinery for inverse rendering lives in render.py's
+    # composition (impact-parameter-based), not here.
     out = lit
     out = jnp.where(
         (hit.obj_type == OBJECT_TYPE_SPECIAL)[..., None],
