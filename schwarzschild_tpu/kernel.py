@@ -1,0 +1,324 @@
+"""Pallas TPU ray-march kernel — the fused hot loop of the framework.
+
+The jnp renderer (render.py) is the differentiable correctness twin; this
+kernel is the speed path.  The per-pixel GLSL program (black_hole.frag:883-935)
+marches 100 RK4 steps per ray; in the dense jnp version every step round-trips
+the ~20-float ray state (plus all intersection temporaries) through HBM.  Here
+the whole march runs inside one kernel invocation per pixel tile with all
+state resident in VMEM, so each ray's 100 steps touch HBM exactly twice: once
+to read the ray, once to write the result.
+
+v1 scope — the "horizon + sky" workload (BASELINE config 2): event-horizon
+capture, far-field flat-space rule, escape to background.  Scene-object
+intersection stays on the jnp path for now.  Outputs are (final_dir, status),
+and the cheap shading/bg gather happens outside in jnp — the kernel is pure
+compute (SURVEY section 7 "two-phase design").
+
+Data layout: component planes (H, W) f32 — six ray inputs, four outputs —
+tiled (BLOCK_H, W) per grid step; scalars (r_s) ride SMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import camera as cam_mod
+from . import geometry as geo
+from . import physics
+from .config import RenderConfig
+from .shading import CROSSHAIR_COLOR, crosshair_mask, get_background
+from .textures import Texture
+
+# Ray status codes produced by the kernel.
+STATUS_MARCHING = 0.0
+STATUS_CAPTURED = 1.0
+STATUS_ESCAPED = 2.0
+
+_EPS = 1e-7  # black_hole.frag:30
+
+
+def _march_kernel(rs_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                  act_ref, fdx_ref, fdy_ref, fdz_ref, st_ref,
+                  *, max_steps: int, max_angle: float, u_f: float):
+    """One pixel tile: march every lane to capture/escape.
+
+    All refs are (BLOCK_H, W) f32 except rs_ref (1, 1) SMEM.
+    """
+    f32 = jnp.float32
+    r_s = rs_ref[0, 0]
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    marching = act_ref[:] > 0.5
+
+    def dot3(ax, ay, az, bx, by, bz):
+        return ax * bx + ay * by + az * bz
+
+    def rnorm(ax, ay, az):
+        return jax.lax.rsqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-20))
+
+    # Orbital-plane init (frag:865, 883-887).
+    inv_len_o = rnorm(ox, oy, oz)
+    nx, ny, nz = ox * inv_len_o, oy * inv_len_o, oz * inv_len_o
+
+    def tangent_of(nx, ny, nz, dx, dy, dz):
+        # t = normalize(cross(cross(n, d), n)) = normalize(d - n (n.d))
+        nd = dot3(nx, ny, nz, dx, dy, dz)
+        tx = dx - nx * nd
+        ty = dy - ny * nd
+        tz = dz - nz * nd
+        inv = rnorm(tx, ty, tz)
+        return tx * inv, ty * inv, tz * inv, nd
+
+    tx, ty, tz, nd0 = tangent_of(nx, ny, nz, dx, dy, dz)
+    u = inv_len_o
+    dt0 = dot3(tx, ty, tz, dx, dy, dz)
+    du = -u * nd0 / jnp.where(jnp.abs(dt0) < 1e-20, 1e-20, dt0)
+
+    # Current position = ray origin; final dir starts as the camera dir.
+    # NOTE: loop-carried values must be f32 vectors — Mosaic cannot legalize
+    # scf.for with i1 vector carries, so the live mask rides as 0.0/1.0.
+    state = dict(
+        px=ox, py=oy, pz=oz,
+        dx=dx, dy=dy, dz=dz,
+        nx=nx, ny=ny, nz=nz,
+        tx=tx, ty=ty, tz=tz,
+        u=u, du=du, phi=jnp.zeros_like(u),
+        status=jnp.where(marching, f32(STATUS_MARCHING), f32(STATUS_ESCAPED)),
+        live=marching.astype(f32),
+    )
+
+    def sphere_entry(px, py, pz, dx, dy, dz, radius):
+        """First positive lambda of a sphere at the origin (frag:457-470);
+        returns (hit, lam)."""
+        d_oc = dot3(dx, dy, dz, px, py, pz)
+        oc2 = dot3(px, py, pz, px, py, pz)
+        disc = d_oc * d_oc - oc2 + radius * radius
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        lam1 = -d_oc - sq
+        lam2 = -d_oc + sq
+        lam = jnp.where((lam1 > 0) & (lam2 > 0), jnp.minimum(lam1, lam2),
+                        jnp.where(lam1 > 0, lam1, jnp.where(lam2 > 0, lam2, -1.0)))
+        return (disc >= 0.0) & (lam >= 0.0), lam
+
+    def body(i, s):
+        live = s["live"] > 0.5
+
+        # --- far-field flat-space approximation (frag:891-912) ---
+        ff = live & (s["u"] < u_f)
+        big_hit, big_lam = sphere_entry(s["px"], s["py"], s["pz"],
+                                        s["dx"], s["dy"], s["dz"], 1.0 / u_f)
+        hx = s["px"] + big_lam * s["dx"]
+        hy = s["py"] + big_lam * s["dy"]
+        hz = s["pz"] + big_lam * s["dz"]
+        inv_h = rnorm(hx, hy, hz)
+        nnx, nny, nnz = hx * inv_h, hy * inv_h, hz * inv_h
+        nd = dot3(nnx, nny, nnz, s["dx"], s["dy"], s["dz"])
+        radial = jnp.abs(nd) >= 1.0 - _EPS
+
+        # Flat finish (no re-entry or radial): for the horizon+sky scene the
+        # flat trace is one unbounded BH-sphere test.
+        finish = ff & (~big_hit | radial)
+        bh_hit, _ = sphere_entry(s["px"], s["py"], s["pz"],
+                                 s["dx"], s["dy"], s["dz"], r_s)
+        status = jnp.where(
+            finish, jnp.where(bh_hit, f32(STATUS_CAPTURED), f32(STATUS_ESCAPED)),
+            s["status"])
+        live = live & ~finish
+
+        reinit = ff & big_hit & ~radial
+        ntx, nty, ntz, _ = tangent_of(nnx, nny, nnz, s["dx"], s["dy"], s["dz"])
+        dt = dot3(ntx, nty, ntz, s["dx"], s["dy"], s["dz"])
+        new_u = inv_h
+        new_du = -new_u * nd / jnp.where(jnp.abs(dt) < 1e-20, 1e-20, dt)
+
+        def sel(m, a, b):
+            return jnp.where(m, a, b)
+
+        nx = sel(reinit, nnx, s["nx"])
+        ny = sel(reinit, nny, s["ny"])
+        nz = sel(reinit, nnz, s["nz"])
+        tx = sel(reinit, ntx, s["tx"])
+        ty = sel(reinit, nty, s["ty"])
+        tz = sel(reinit, ntz, s["tz"])
+        u0 = sel(reinit, new_u, s["u"])
+        du0 = sel(reinit, new_du, s["du"])
+
+        # --- RK4 step (frag:914-919) ---
+        step = (max_angle - s["phi"]) / (max_steps - i).astype(f32)
+        phi = s["phi"] + step
+        d_u, d_du = physics.rk4_step(u0, du0, step, r_s)
+        u1 = u0 + d_u
+        du1 = du0 + d_du
+
+        escaped = live & (u1 < 0.0)
+        status = jnp.where(escaped, f32(STATUS_ESCAPED), status)
+        live = live & ~escaped
+
+        # --- reconstruct segment (frag:924-928) ---
+        u_rec = jnp.where(jnp.abs(u1) < 1e-20, 1e-20, u1)
+        inv_u = 1.0 / u_rec
+        npx = (jnp.cos(phi) * nx + jnp.sin(phi) * tx) * inv_u
+        npy = (jnp.cos(phi) * ny + jnp.sin(phi) * ty) * inv_u
+        npz = (jnp.cos(phi) * nz + jnp.sin(phi) * tz) * inv_u
+        ddx = npx - s["px"]
+        ddy = npy - s["py"]
+        ddz = npz - s["pz"]
+        inv_seg = rnorm(ddx, ddy, ddz)
+        seg_len = 1.0 / inv_seg
+        sdx, sdy, sdz = ddx * inv_seg, ddy * inv_seg, ddz * inv_seg
+
+        # Horizon capture along the segment (frag:757-758 as a scene sphere).
+        cap_hit, cap_lam = sphere_entry(s["px"], s["py"], s["pz"],
+                                        sdx, sdy, sdz, r_s)
+        captured = live & cap_hit & (cap_lam <= seg_len)
+        status = jnp.where(captured, f32(STATUS_CAPTURED), status)
+        live = live & ~captured
+
+        moved = live | captured
+        return dict(
+            px=sel(moved, npx, s["px"]),
+            py=sel(moved, npy, s["py"]),
+            pz=sel(moved, npz, s["pz"]),
+            # Escaped rays keep the pre-step dir (frag:921-922 breaks before
+            # reconstruction); captured/alive rays take the segment dir.
+            dx=sel(moved, sdx, s["dx"]),
+            dy=sel(moved, sdy, s["dy"]),
+            dz=sel(moved, sdz, s["dz"]),
+            nx=nx, ny=ny, nz=nz, tx=tx, ty=ty, tz=tz,
+            u=sel(moved, u1, u0), du=sel(moved, du1, du0), phi=sel(moved, phi, s["phi"]),
+            status=status, live=live.astype(f32),
+        )
+
+    state = jax.lax.fori_loop(0, max_steps, body, state)
+
+    # Exhausted marchers escape to the background (frag:935).
+    final_status = jnp.where(state["live"] > 0.5, f32(STATUS_ESCAPED),
+                             state["status"])
+    fdx_ref[:] = state["dx"]
+    fdy_ref[:] = state["dy"]
+    fdz_ref[:] = state["dz"]
+    st_ref[:] = final_status
+
+
+def march_bh(origin, direction, active, r_s, cfg: RenderConfig,
+             block_h: int = 8, block_w: int = 128, interpret: bool = False):
+    """Run the Pallas march over (H, W) rays.
+
+    origin/direction: (H, W, 3); active: (H, W) bool (lanes to march).
+    Returns (final_dir (H, W, 3), status (H, W) f32).
+
+    Blocks are one native (8, 128) f32 tile by default: the march carries
+    ~18 vector values through its scf.for, and every extra tile per block
+    multiplies the loop-carried register count (Mosaic compile time explodes
+    beyond a few dozen).
+    """
+    H, W = active.shape
+    pad_h = (-H) % block_h
+    pad_w = (-W) % block_w
+
+    def pad(x):
+        return jnp.pad(x, ((0, pad_h), (0, pad_w)))
+
+    comps = [pad(origin[..., i]) for i in range(3)]
+    comps += [pad(direction[..., i]) for i in range(3)]
+    comps += [pad(active.astype(jnp.float32))]
+    ph, pw = comps[0].shape
+
+    grid = (ph // block_h, pw // block_w)
+    tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(
+        _march_kernel,
+        max_steps=cfg.max_steps,
+        max_angle=float(cfg.max_angle),
+        u_f=float(cfg.u_f),
+    )
+    out_shape = [jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 4
+    fdx, fdy, fdz, status = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[scalar] + [tile] * 7,
+        out_specs=[tile] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray(r_s, jnp.float32).reshape(1, 1), *comps)
+
+    final_dir = jnp.stack([fdx[:H, :W], fdy[:H, :W], fdz[:H, :W]], axis=-1)
+    return final_dir, status[:H, :W]
+
+
+def render_horizon_sky(cam, cfg: RenderConfig, background: Texture, r_s=1.0,
+                       interpret: bool = False):
+    """Config-2 fast path: empty scene (horizon + equirect sky) rendered by
+    the Pallas kernel + one jnp background gather.
+
+    Matches render(empty_scene(), ...) — tested in tests/test_kernel.py.
+    """
+    f32 = jnp.float32
+    r_s = jnp.asarray(r_s, f32)
+    H, W = cfg.height, cfg.width
+
+    u_ndc, v_ndc = cam_mod.pixel_grid(W, H)
+    origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc, W, H)
+    batch = u_ndc.shape
+
+    base = jnp.zeros(batch + (4,), f32)
+    if cfg.crosshair:
+        ch = crosshair_mask(u_ndc, v_ndc, W, H)
+        base = jnp.where(ch[..., None], jnp.array(CROSSHAIR_COLOR, f32), base)
+
+    if cfg.raytrace_type == cam_mod.FLAT:
+        mode_flat = jnp.ones(batch, bool)
+    elif cfg.raytrace_type == cam_mod.HALF_WIDTH:
+        mode_flat = u_ndc > 2.0 * cfg.curved_percentage - 1.0
+    elif cfg.raytrace_type == cam_mod.HALF_HEIGHT:
+        mode_flat = v_ndc > 2.0 * cfg.curved_percentage - 1.0
+    else:
+        mode_flat = jnp.zeros(batch, bool)
+
+    normal_vec0 = geo.safe_normalize(origin)
+    flat_px = mode_flat | physics.is_radial(direction, normal_vec0)
+
+    uv_vec = jnp.stack([u_ndc, v_ndc * (H / W)], axis=-1)
+    if cfg.percent_black >= 0.0 and cfg.noise_mode != "none":
+        from .render import glsl_rand, pixel_hash_rand
+
+        if cfg.noise_mode == "glsl":
+            rnd = glsl_rand(uv_vec)
+        elif cfg.noise_mode == "hash":
+            rnd = pixel_hash_rand(W, H, cfg.noise_seed)
+        else:
+            rnd = jax.random.uniform(jax.random.key(cfg.noise_seed), batch)
+        noise_skip = ~flat_px & (rnd <= f32(cfg.percent_black))
+    else:
+        noise_skip = jnp.zeros(batch, bool)
+
+    march_px = ~flat_px & ~noise_skip
+    final_dir, status = march_bh(origin, direction, march_px, r_s, cfg,
+                                 interpret=interpret)
+
+    # Flat pixels: one BH-sphere test + bg (frag:874-877).
+    d_oc = geo.dot(direction, origin)
+    disc = d_oc * d_oc - geo.square_vector(origin) + r_s * r_s
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    lam1, lam2 = -d_oc - sq, -d_oc + sq
+    lam = geo.min_positive(lam1, lam2)
+    flat_bh = (disc >= 0.0) & (lam >= 0.0)
+
+    captured = jnp.where(flat_px, flat_bh, status == STATUS_CAPTURED)
+    use_dir = jnp.where(flat_px[..., None], direction, final_dir)
+    bg = get_background(background, use_dir)
+    black = jnp.array([0.0, 0.0, 0.0, 1.0], f32)
+
+    color = jnp.where(
+        noise_skip[..., None], jnp.zeros((4,), f32),
+        jnp.where(captured[..., None], black, bg))
+    return base + color

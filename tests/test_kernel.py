@@ -1,0 +1,92 @@
+"""Pallas march-kernel correctness vs the jnp renderer twin.
+
+Runs in interpreter mode so the suite stays CPU-only; the same kernel
+compiles with Mosaic on real TPU (exercised by bench.py and the driver's
+compile check).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import schwarzschild_tpu as st
+from schwarzschild_tpu import camera as cm
+from schwarzschild_tpu import configs, geometry as geo, physics
+from schwarzschild_tpu.kernel import (
+    STATUS_CAPTURED,
+    STATUS_ESCAPED,
+    march_bh,
+    render_horizon_sky,
+)
+
+
+def _rays(size, cam):
+    u_ndc, v_ndc = cm.pixel_grid(size, size)
+    origin, direction = cm.generate_rays(cam, u_ndc, v_ndc, size, size)
+    active = ~physics.is_radial(direction, geo.safe_normalize(origin))
+    return origin, direction, active
+
+
+def test_kernel_march_matches_jnp_renderer():
+    size = 48
+    cfg = st.RenderConfig(width=size, height=size, percent_black=-1.0,
+                          checkpoint_every=0)
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+
+    fast = render_horizon_sky(cam, cfg, bg, 1.0, interpret=True)
+    ref = st.render(st.empty_scene(), cam, cfg, bg, None, 1.0)
+    d = np.abs(np.asarray(ref) - np.asarray(fast)).max(-1)
+    # Boundary pixels may flip capture/escape between the two f32 paths.
+    assert (d < 2e-3).mean() > 0.99, (d < 2e-3).mean()
+
+
+def test_kernel_statuses_sensible():
+    size = 32
+    cfg = st.RenderConfig(width=size, height=size, percent_black=-1.0,
+                          checkpoint_every=0)
+    cam = configs.demo_camera()
+    origin, direction, active = _rays(size, cam)
+    final_dir, status = march_bh(origin, direction, active, 1.0, cfg,
+                                 interpret=True)
+    s = np.asarray(status)
+    captured = (s == STATUS_CAPTURED).sum()
+    escaped = (s == STATUS_ESCAPED).sum()
+    assert captured > 0 and escaped > 0
+    assert captured + escaped == size * size
+    # Bigger hole -> more captures.
+    _, s2 = march_bh(origin, direction, active, 1.5, cfg, interpret=True)
+    assert (np.asarray(s2) == STATUS_CAPTURED).sum() > captured
+    # Final directions are unit vectors.
+    n = np.linalg.norm(np.asarray(final_dir), axis=-1)
+    np.testing.assert_allclose(n[np.asarray(active)], 1.0, atol=1e-4)
+
+
+def test_kernel_respects_active_mask():
+    size = 16
+    cfg = st.RenderConfig(width=size, height=size, percent_black=-1.0)
+    cam = configs.demo_camera()
+    origin, direction, active = _rays(size, cam)
+    none_active = jnp.zeros_like(active)
+    final_dir, status = march_bh(origin, direction, none_active, 1.0, cfg,
+                                 interpret=True)
+    # Inactive lanes: escaped immediately, direction untouched.
+    assert (np.asarray(status) == STATUS_ESCAPED).all()
+    np.testing.assert_allclose(np.asarray(final_dir), np.asarray(direction),
+                               atol=0)
+
+
+def test_kernel_non_tile_aligned_shapes():
+    """Padding: odd image sizes round-trip correctly."""
+    W, H = 37, 23
+    cfg = st.RenderConfig(width=W, height=H, percent_black=-1.0)
+    cam = configs.demo_camera()
+    u_ndc, v_ndc = cm.pixel_grid(W, H)
+    origin, direction = cm.generate_rays(cam, u_ndc, v_ndc, W, H)
+    active = ~physics.is_radial(direction, geo.safe_normalize(origin))
+    final_dir, status = march_bh(origin, direction, active, 1.0, cfg,
+                                 interpret=True)
+    assert status.shape == (H, W)
+    assert final_dir.shape == (H, W, 3)
+    assert np.isfinite(np.asarray(final_dir)).all()
