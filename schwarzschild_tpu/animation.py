@@ -1,0 +1,96 @@
+"""Animation driver: hyperbolic-flyby frame rendering (BASELINE config 4).
+
+Replaces the interactive frame loop + key-H trajectory controller
+(main.cpp:303-435, 404-410) with a batch renderer: the camera pose is a pure
+function of frame time (camera.hyperbolic_trajectory), frames are written as
+PNG files, and on a multi-host pod each host renders its own contiguous slab
+of frames (frame parallelism — SURVEY section 2.2 PP row).  Killed runs are
+resumable: a frame file that already exists is skipped (idempotent per-frame
+outputs, SURVEY section 5 'failure detection').
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from . import camera as cam_mod
+from .config import RenderConfig
+from .metrics import FrameTimer, MetricsLogger
+from .render import render, save_png
+from .sharding import frame_range_for_process
+
+
+def render_trajectory(
+    sc,
+    cfg: RenderConfig,
+    background,
+    tex=None,
+    times: Optional[Sequence[float]] = None,
+    n_frames: int = 60,
+    initial_distance: float = 30.0,
+    closest_distance: float = 10.0,
+    r_s: float = 1.0,
+    out_dir: Optional[str] = None,
+    logger: Optional[MetricsLogger] = None,
+    overwrite: bool = False,
+    all_frames_local: bool = False,
+):
+    """Render the hyperbolic flyby.
+
+    times: normalized trajectory times in [0, 1] (default: n_frames uniform —
+    the reference sweeps t in [0, 1] over HYPERBOLIC_TRAJECTORY_DURATION
+    seconds, main.cpp:408-410).  Returns the list of (frame_index, image|path).
+    """
+    if times is None:
+        times = np.linspace(0.0, 1.0, n_frames)
+    times = np.asarray(times, np.float64)
+    logger = logger or MetricsLogger()
+    out = []
+
+    jit_render = jax.jit(render, static_argnames="cfg")
+    base_cam = cam_mod.make_camera((0.0, 2.0, 15.0))
+
+    if all_frames_local:
+        frame_ids = range(len(times))
+    else:
+        frame_ids = frame_range_for_process(len(times))
+
+    out_path = Path(out_dir) if out_dir else None
+    if out_path:
+        out_path.mkdir(parents=True, exist_ok=True)
+
+    for idx in frame_ids:
+        if out_path:
+            f = out_path / f"frame_{idx:05d}.png"
+            if f.exists() and not overwrite:
+                out.append((idx, str(f)))
+                logger.log("frame_skipped", frame=idx)
+                continue
+        cam = cam_mod.hyperbolic_trajectory(
+            base_cam, initial_distance, closest_distance, float(times[idx]))
+        with FrameTimer(logger, idx, cfg.width * cfg.height, cfg.max_steps):
+            img = jit_render(sc, cam, cfg, background, tex, r_s)
+            img.block_until_ready()
+        if out_path:
+            save_png(img, f)
+            out.append((idx, str(f)))
+        else:
+            out.append((idx, img))
+    return out
+
+
+def write_video(frame_paths: Sequence[str], out_path: str, fps: int = 24):
+    """Assemble PNG frames into a video if imageio+ffmpeg are available;
+    otherwise raise with a clear message (frames remain usable as files)."""
+    try:
+        import imageio.v2 as imageio
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "imageio not available; frames are on disk as PNGs") from e
+    with imageio.get_writer(out_path, fps=fps) as w:
+        for p in frame_paths:
+            w.append_data(imageio.imread(p))
