@@ -392,24 +392,32 @@ def box_candidates(origin, direction, max_lambda, boxes):
     uv = (uv + boxes.atlas_offset) / jnp.array([4.0, 3.0], jnp.float32)
 
     dist = jnp.where(valid, dist, _INF)
-    face = jnp.argmin(dist, axis=-1)  # first min == reference tie-break
 
-    valid_b = jnp.take_along_axis(valid, face[..., None], axis=-1)[..., 0]
-    dist_b = jnp.take_along_axis(dist, face[..., None], axis=-1)[..., 0]
+    # Closest-face reduction via elementwise selects (first-min tie-break ==
+    # the reference's `hit.dist < res.dist`, frag:658) — no gathers.
+    def face_tuple(i):
+        return (valid[..., i], dist[..., i], point[..., i, :],
+                tangent[..., i, :], bitangent[..., i, :], normal[..., i, :],
+                uv[..., i, :])
 
-    def pick_vec(x):
-        return jnp.take_along_axis(x, face[..., None, None], axis=-2)[..., 0, :]
+    best = face_tuple(0)
+    for i in range(1, 6):
+        cand = face_tuple(i)
+        better = cand[1] < best[1]
+        bv = better[..., None]
+        best = (
+            jnp.where(better, cand[0], best[0]),
+            jnp.where(better, cand[1], best[1]),
+            jnp.where(bv, cand[2], best[2]),
+            jnp.where(bv, cand[3], best[3]),
+            jnp.where(bv, cand[4], best[4]),
+            jnp.where(bv, cand[5], best[5]),
+            jnp.where(bv, cand[6], best[6]),
+        )
 
     return _mk_cand(
-        valid_b,
-        dist_b,
-        pick_vec(point),
-        pick_vec(tangent),
-        pick_vec(bitangent),
-        pick_vec(normal),
-        pick_vec(uv),
-        OBJECT_TYPE_BOX,
-        boxes.mat_idx,
+        best[0], best[1], best[2], best[3], best[4], best[5], best[6],
+        OBJECT_TYPE_BOX, boxes.mat_idx,
     )
 
 
@@ -476,8 +484,51 @@ def test_ray_candidates(origin, direction, max_lambda, test_ray: TestRay,
     return flat, curved
 
 
-def _concat_axis(field_ndim, valid_ndim):
-    return field_ndim - 1 if field_ndim == valid_ndim else field_ndim - 2
+def _hit_from_cand_index(c: _Cand, i) -> Hit:
+    """Slice candidate i out of a _Cand (static index)."""
+    return Hit(
+        valid=c.valid[..., i], dist=c.dist[..., i], point=c.point[..., i, :],
+        tangent=c.tangent[..., i, :], bitangent=c.bitangent[..., i, :],
+        normal=c.normal[..., i, :], uv=c.uv[..., i, :],
+        obj_type=c.obj_type[..., i], mat_idx=c.mat_idx[..., i],
+        plane_tex_offset=c.plane_tex_offset[..., i, :],
+        plane_tex_size=c.plane_tex_size[..., i, :],
+        plane_repeat=c.plane_repeat[..., i],
+    )
+
+
+def _merge_hits(a: Hit, b: Hit) -> Hit:
+    """Keep the closer hit; ties keep ``a`` (the reference's linear scan only
+    replaces on strictly smaller dist, frag:811).  Pure elementwise selects —
+    deliberately NO argmin/take_along_axis, which lower to per-pixel gathers
+    and dominate the pass cost on TPU."""
+    better = b.dist < a.dist
+    bv = better[..., None]
+    return Hit(
+        valid=jnp.where(better, b.valid, a.valid),
+        dist=jnp.where(better, b.dist, a.dist),
+        point=jnp.where(bv, b.point, a.point),
+        tangent=jnp.where(bv, b.tangent, a.tangent),
+        bitangent=jnp.where(bv, b.bitangent, a.bitangent),
+        normal=jnp.where(bv, b.normal, a.normal),
+        uv=jnp.where(bv, b.uv, a.uv),
+        obj_type=jnp.where(better, b.obj_type, a.obj_type),
+        mat_idx=jnp.where(better, b.mat_idx, a.mat_idx),
+        plane_tex_offset=jnp.where(bv, b.plane_tex_offset, a.plane_tex_offset),
+        plane_tex_size=jnp.where(bv, b.plane_tex_size, a.plane_tex_size),
+        plane_repeat=jnp.where(better, b.plane_repeat, a.plane_repeat),
+    )
+
+
+def _reduce_cand(c: _Cand, best: Optional[Hit] = None) -> Hit:
+    n = c.valid.shape[-1]
+    start = 0
+    if best is None:
+        best = _hit_from_cand_index(c, 0)
+        start = 1
+    for i in range(start, n):
+        best = _merge_hits(best, _hit_from_cand_index(c, i))
+    return best
 
 
 def intersect_scene(
@@ -519,31 +570,9 @@ def intersect_scene(
     if sc.boxes.mat_idx.shape[0]:
         cands.append(box_candidates(origin, direction, max_lambda, sc.boxes))
 
-    valid_ndim = cands[0].valid.ndim
-    merged = _Cand(*[
-        jnp.concatenate(parts, axis=_concat_axis(parts[0].ndim, valid_ndim))
-        for parts in zip(*cands)
-    ])
-
-    best = jnp.argmin(merged.dist, axis=-1)  # first-min tie-break
-
-    def pick_scalar(x):
-        return jnp.take_along_axis(x, best[..., None], axis=-1)[..., 0]
-
-    def pick_vec(x):
-        return jnp.take_along_axis(x, best[..., None, None], axis=-2)[..., 0, :]
-
-    return Hit(
-        valid=pick_scalar(merged.valid),
-        dist=pick_scalar(merged.dist),
-        point=pick_vec(merged.point),
-        tangent=pick_vec(merged.tangent),
-        bitangent=pick_vec(merged.bitangent),
-        normal=pick_vec(merged.normal),
-        uv=pick_vec(merged.uv),
-        obj_type=pick_scalar(merged.obj_type),
-        mat_idx=pick_scalar(merged.mat_idx),
-        plane_tex_offset=pick_vec(merged.plane_tex_offset),
-        plane_tex_size=pick_vec(merged.plane_tex_size),
-        plane_repeat=pick_scalar(merged.plane_repeat),
-    )
+    # Candidate order (bh, test rays, spheres, ..., boxes) + first-wins ties
+    # reproduces the reference's scan order.
+    best = None
+    for c in cands:
+        best = _reduce_cand(c, best)
+    return best

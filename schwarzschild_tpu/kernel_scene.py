@@ -1,0 +1,583 @@
+"""Full-scene Pallas march kernel (configs 3-4 fast path).
+
+Architecture — hit-segment recording (the "two-phase" design from SURVEY
+section 7, refined):
+
+  * the kernel marches the geodesic exactly like kernel.py and, per segment,
+    runs VALIDITY-ONLY intersection tests against every scene primitive
+    (scalar primitive parameters broadcast from SMEM over the ray lanes);
+  * when a segment hits something, the kernel records the segment itself —
+    (segment start, direction, length) — into one of K slots and marches on
+    (the reference only stops on OPAQUE hits, which depend on textures the
+    kernel cannot see); if the closest hit in the segment is the event
+    horizon, the ray stops (captures are always opaque black, frag:366);
+  * outside, the recorded segments are re-intersected with the fully-featured
+    jnp ``intersect_scene`` + ``shade`` (identical closest-hit semantics, so
+    the recomputed hit matches what the kernel detected), and composed
+    additively in slot order with the reference's first-opaque cutoff
+    (frag:930-932) and final background (frag:935).
+
+Cost: 100 in-kernel validity steps + at most K full jnp intersect/shade
+passes, vs the dense renderer's 100 full passes.
+
+Deviation (documented): a ray crossing more than K non-opaque hits drops the
+extras; K=4 covers every shipped scene (the reference demo has no ray with
+more than 3 translucent crossings).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import camera as cam_mod
+from . import geometry as geo
+from . import physics
+from .config import RenderConfig
+from .intersect import intersect_scene
+from .render import glsl_rand, pixel_hash_rand
+from .scene import Scene
+from .shading import CROSSHAIR_COLOR, crosshair_mask, get_background, shade
+from .textures import Texture, TextureStack
+
+STATUS_MARCHING = 0.0
+STATUS_CAPTURED = 1.0
+STATUS_ESCAPED = 2.0
+STATUS_FLAT_FINISH = 3.0
+
+_EPS = 1e-7
+
+
+def _pack_scene_smem(sc: Scene):
+    """Scene -> dict of f32 SMEM tables for the kernel.
+
+    planes: (N,6)  [pos, normal]
+    disks: (N,7)   [pos, normal, radius^2]
+    hollow: (N,8)  [pos, normal, inner^2, outer^2]
+    spheres: (N,4) [pos, radius]
+    cylinders: (N,14) [pos, axes(cols flat), height, radius]
+    rects: (N,12) [pos, ax0, normal(ax1), ax2] + (N,2) [w,h] merged -> (N,14)
+    boxes -> 6 rect rows each: (N*6, 14)
+    """
+    f32 = np.float32
+    out = {}
+
+    def np_(x):
+        return np.asarray(x, f32)
+
+    if sc.spheres.radius.shape[0]:
+        out["spheres"] = jnp.asarray(
+            np.concatenate([np_(sc.spheres.pos), np_(sc.spheres.radius)[:, None]], 1))
+    if sc.planes.mat_idx.shape[0]:
+        out["planes"] = jnp.asarray(
+            np.concatenate([np_(sc.planes.pos), np_(sc.planes.axes)[:, :, 1]], 1))
+    if sc.disks.mat_idx.shape[0]:
+        out["disks"] = jnp.asarray(np.concatenate([
+            np_(sc.disks.pos), np_(sc.disks.axes)[:, :, 1],
+            (np_(sc.disks.radius) ** 2)[:, None]], 1))
+    if sc.hollow_disks.mat_idx.shape[0]:
+        out["hollow"] = jnp.asarray(np.concatenate([
+            np_(sc.hollow_disks.pos), np_(sc.hollow_disks.axes)[:, :, 1],
+            (np_(sc.hollow_disks.inner_radius) ** 2)[:, None],
+            (np_(sc.hollow_disks.outer_radius) ** 2)[:, None]], 1))
+    if sc.cylinders.mat_idx.shape[0]:
+        ax = np_(sc.cylinders.axes)
+        out["cylinders"] = jnp.asarray(np.concatenate([
+            np_(sc.cylinders.pos),
+            ax[:, :, 0], ax[:, :, 1], ax[:, :, 2],
+            np_(sc.cylinders.height)[:, None],
+            np_(sc.cylinders.radius)[:, None]], 1))
+
+    rect_rows = []
+    if sc.rectangles.mat_idx.shape[0]:
+        ax = np_(sc.rectangles.axes)
+        rect_rows.append(np.concatenate([
+            np_(sc.rectangles.pos), ax[:, :, 0], ax[:, :, 1], ax[:, :, 2],
+            np_(sc.rectangles.width)[:, None],
+            np_(sc.rectangles.height)[:, None]], 1))
+    if sc.boxes.mat_idx.shape[0]:
+        fp = np_(sc.boxes.face_pos).reshape(-1, 3)
+        fa = np_(sc.boxes.face_axes).reshape(-1, 3, 3)
+        fw = np_(sc.boxes.face_width).reshape(-1, 1)
+        fh = np_(sc.boxes.face_height).reshape(-1, 1)
+        rect_rows.append(np.concatenate(
+            [fp, fa[:, :, 0], fa[:, :, 1], fa[:, :, 2], fw, fh], 1))
+    if rect_rows:
+        out["rects"] = jnp.asarray(np.concatenate(rect_rows, 0))
+    return out
+
+
+def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
+                        max_steps, max_angle, u_f):
+    """refs order: [tables...] + [ox..dz, act] + outputs
+    [fdx,fdy,fdz,fpx,fpy,fpz,status] + per-slot [px,py,pz,dx,dy,dz,len]*K."""
+    f32 = jnp.float32
+    r_s = rs_ref[0, 0]
+
+    n_tab = len(table_names)
+    tabs = dict(zip(table_names, refs[:n_tab]))
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref = refs[n_tab:n_tab + 7]
+    outs = refs[n_tab + 7:]
+    fdx_ref, fdy_ref, fdz_ref, fpx_ref, fpy_ref, fpz_ref, st_ref = outs[:7]
+    slot_refs = outs[7:]
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    marching = act_ref[:] > 0.5
+
+    def dot3(ax, ay, az, bx, by, bz):
+        return ax * bx + ay * by + az * bz
+
+    def rnorm(ax, ay, az):
+        return jax.lax.rsqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-20))
+
+    inv_len_o = rnorm(ox, oy, oz)
+    nx, ny, nz = ox * inv_len_o, oy * inv_len_o, oz * inv_len_o
+
+    def tangent_of(nx, ny, nz, dx, dy, dz):
+        nd = dot3(nx, ny, nz, dx, dy, dz)
+        tx = dx - nx * nd
+        ty = dy - ny * nd
+        tz = dz - nz * nd
+        inv = rnorm(tx, ty, tz)
+        return tx * inv, ty * inv, tz * inv, nd
+
+    tx, ty, tz, nd0 = tangent_of(nx, ny, nz, dx, dy, dz)
+    u = inv_len_o
+    dt0 = dot3(tx, ty, tz, dx, dy, dz)
+    du = -u * nd0 / jnp.where(jnp.abs(dt0) < 1e-20, 1e-20, dt0)
+
+    zero = jnp.zeros_like(u)
+    state = dict(
+        px=ox, py=oy, pz=oz, dx=dx, dy=dy, dz=dz,
+        nx=nx, ny=ny, nz=nz, tx=tx, ty=ty, tz=tz,
+        u=u, du=du, phi=zero,
+        status=jnp.where(marching, f32(STATUS_MARCHING), f32(STATUS_ESCAPED)),
+        live=marching.astype(f32),
+        nhits=zero,
+    )
+    for k in range(n_slots):
+        for fld in ("sx", "sy", "sz", "sdx", "sdy", "sdz", "slen"):
+            state[f"{fld}{k}"] = zero
+
+    def sphere_entry(px, py, pz, dx, dy, dz, cx, cy, cz, radius):
+        ocx, ocy, ocz = px - cx, py - cy, pz - cz
+        d_oc = dot3(dx, dy, dz, ocx, ocy, ocz)
+        oc2 = dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+        disc = d_oc * d_oc - oc2 + radius * radius
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        lam1 = -d_oc - sq
+        lam2 = -d_oc + sq
+        lam = jnp.where((lam1 > 0) & (lam2 > 0), jnp.minimum(lam1, lam2),
+                        jnp.where(lam1 > 0, lam1, jnp.where(lam2 > 0, lam2, -1.0)))
+        return (disc >= 0.0) & (lam >= 0.0), lam
+
+    def segment_min_dist(px, py, pz, sdx, sdy, sdz, seg_len):
+        """Closest scene-hit lambda within [0, seg_len] (inf if none) plus
+        the BH hit lambda.  Validity-only versions of intersect.py."""
+        INF = f32(np.inf)
+        best = jnp.full_like(px, INF)
+
+        def within(lam):
+            return (lam >= 0.0) & (lam <= seg_len)
+
+        # Event horizon (frag:757-758).
+        bh_ok, bh_lam = sphere_entry(px, py, pz, sdx, sdy, sdz, 0.0, 0.0, 0.0, r_s)
+        bh = jnp.where(bh_ok & within(bh_lam), bh_lam, INF)
+
+        if "spheres" in tabs:
+            t = tabs["spheres"]
+            for i in range(table_rows["spheres"]):
+                ok, lam = sphere_entry(px, py, pz, sdx, sdy, sdz,
+                                       t[i, 0], t[i, 1], t[i, 2], t[i, 3])
+                best = jnp.minimum(best, jnp.where(ok & within(lam), lam, INF))
+
+        def plane_lam(t, i):
+            nxs, nys, nzs = t[i, 3], t[i, 4], t[i, 5]
+            denom = dot3(nxs, nys, nzs, sdx, sdy, sdz)
+            num = nxs * (t[i, 0] - px) + nys * (t[i, 1] - py) + nzs * (t[i, 2] - pz)
+            lam = num / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            ok = (jnp.abs(denom) >= _EPS) & within(lam)
+            return ok, lam
+
+        if "planes" in tabs:
+            t = tabs["planes"]
+            for i in range(table_rows["planes"]):
+                ok, lam = plane_lam(t, i)
+                best = jnp.minimum(best, jnp.where(ok, lam, INF))
+
+        if "disks" in tabs:
+            t = tabs["disks"]
+            for i in range(table_rows["disks"]):
+                ok, lam = plane_lam(t, i)
+                hx = px + lam * sdx - t[i, 0]
+                hy = py + lam * sdy - t[i, 1]
+                hz = pz + lam * sdz - t[i, 2]
+                ok = ok & (dot3(hx, hy, hz, hx, hy, hz) <= t[i, 6])
+                best = jnp.minimum(best, jnp.where(ok, lam, INF))
+
+        if "hollow" in tabs:
+            t = tabs["hollow"]
+            for i in range(table_rows["hollow"]):
+                ok, lam = plane_lam(t, i)
+                hx = px + lam * sdx - t[i, 0]
+                hy = py + lam * sdy - t[i, 1]
+                hz = pz + lam * sdz - t[i, 2]
+                sq = dot3(hx, hy, hz, hx, hy, hz)
+                ok = ok & (sq >= t[i, 6]) & (sq <= t[i, 7])
+                best = jnp.minimum(best, jnp.where(ok, lam, INF))
+
+        if "cylinders" in tabs:
+            t = tabs["cylinders"]
+            for i in range(table_rows["cylinders"]):
+                # Local frame: columns at 3..5 (ax0), 6..8 (ax1=axis), 9..11.
+                rx = px - t[i, 0]
+                ry = py - t[i, 1]
+                rz = pz - t[i, 2]
+                lox = dot3(t[i, 3], t[i, 4], t[i, 5], rx, ry, rz)
+                loy = dot3(t[i, 6], t[i, 7], t[i, 8], rx, ry, rz)
+                loz = dot3(t[i, 9], t[i, 10], t[i, 11], rx, ry, rz)
+                ldx = dot3(t[i, 3], t[i, 4], t[i, 5], sdx, sdy, sdz)
+                ldy = dot3(t[i, 6], t[i, 7], t[i, 8], sdx, sdy, sdz)
+                ldz = dot3(t[i, 9], t[i, 10], t[i, 11], sdx, sdy, sdz)
+                height, radius = t[i, 12], t[i, 13]
+                a = lox * ldx + loz * ldz
+                dps = ldx * ldx + ldz * ldz
+                disc = a * a + dps * (radius * radius - (lox * lox + loz * loz))
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                dps_s = jnp.where(jnp.abs(dps) < 1e-20, 1e-20, dps)
+                lam1 = -(a + sq) / dps_s
+                lam2 = -(a - sq) / dps_s
+                y1 = loy + lam1 * ldy
+                y2 = loy + lam2 * ldy
+                in1 = (y1 >= 0.0) & (y1 <= height)
+                in2 = (y2 >= 0.0) & (y2 <= height)
+                lam = jnp.where(in1 & in2,
+                                jnp.where((lam1 > 0) & (lam2 > 0),
+                                          jnp.minimum(lam1, lam2),
+                                          jnp.where(lam1 > 0, lam1,
+                                                    jnp.where(lam2 > 0, lam2, -1.0))),
+                                jnp.where(in1, lam1, jnp.where(in2, lam2, -1.0)))
+                ok = (disc >= 0.0) & (in1 | in2) & within(lam)
+                best = jnp.minimum(best, jnp.where(ok, lam, INF))
+
+        if "rects" in tabs:
+            t = tabs["rects"]
+            for i in range(table_rows["rects"]):
+                nxs, nys, nzs = t[i, 6], t[i, 7], t[i, 8]
+                denom = dot3(nxs, nys, nzs, sdx, sdy, sdz)
+                num = (nxs * (t[i, 0] - px) + nys * (t[i, 1] - py)
+                       + nzs * (t[i, 2] - pz))
+                lam = num / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+                ok = (jnp.abs(denom) >= _EPS) & within(lam)
+                hx = px + lam * sdx - t[i, 0]
+                hy = py + lam * sdy - t[i, 1]
+                hz = pz + lam * sdz - t[i, 2]
+                alpha = dot3(t[i, 3], t[i, 4], t[i, 5], hx, hy, hz)
+                beta = dot3(t[i, 9], t[i, 10], t[i, 11], hx, hy, hz)
+                ok = ok & (alpha >= 0.0) & (alpha <= t[i, 12]) \
+                        & (beta >= 0.0) & (beta <= t[i, 13])
+                best = jnp.minimum(best, jnp.where(ok, lam, INF))
+
+        return best, bh
+
+    def body(i, s):
+        live = s["live"] > 0.5
+
+        # Far-field rule (frag:891-912).
+        ff = live & (s["u"] < u_f)
+        big_ok, big_lam = sphere_entry(s["px"], s["py"], s["pz"],
+                                       s["dx"], s["dy"], s["dz"],
+                                       0.0, 0.0, 0.0, 1.0 / u_f)
+        hx = s["px"] + big_lam * s["dx"]
+        hy = s["py"] + big_lam * s["dy"]
+        hz = s["pz"] + big_lam * s["dz"]
+        inv_h = rnorm(hx, hy, hz)
+        nnx, nny, nnz = hx * inv_h, hy * inv_h, hz * inv_h
+        nd = dot3(nnx, nny, nnz, s["dx"], s["dy"], s["dz"])
+        radial = jnp.abs(nd) >= 1.0 - _EPS
+
+        finish = ff & (~big_ok | radial)
+        status = jnp.where(finish, f32(STATUS_FLAT_FINISH), s["status"])
+        live = live & ~finish
+
+        reinit = ff & big_ok & ~radial
+        ntx, nty, ntz, _ = tangent_of(nnx, nny, nnz, s["dx"], s["dy"], s["dz"])
+        dt = dot3(ntx, nty, ntz, s["dx"], s["dy"], s["dz"])
+        new_u = inv_h
+        new_du = -new_u * nd / jnp.where(jnp.abs(dt) < 1e-20, 1e-20, dt)
+
+        sel = jnp.where
+        nx = sel(reinit, nnx, s["nx"])
+        ny = sel(reinit, nny, s["ny"])
+        nz = sel(reinit, nnz, s["nz"])
+        tx = sel(reinit, ntx, s["tx"])
+        ty = sel(reinit, nty, s["ty"])
+        tz = sel(reinit, ntz, s["tz"])
+        u0 = sel(reinit, new_u, s["u"])
+        du0 = sel(reinit, new_du, s["du"])
+
+        # RK4 (frag:914-919).
+        step = (max_angle - s["phi"]) / (max_steps - i).astype(f32)
+        phi = s["phi"] + step
+        d_u, d_du = physics.rk4_step(u0, du0, step, r_s)
+        u1 = u0 + d_u
+        du1 = du0 + d_du
+
+        escaped = live & (u1 < 0.0)
+        status = jnp.where(escaped, f32(STATUS_ESCAPED), status)
+        live = live & ~escaped
+
+        # Segment (frag:924-928).
+        u_rec = jnp.where(jnp.abs(u1) < 1e-20, 1e-20, u1)
+        inv_u = 1.0 / u_rec
+        cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+        npx = (cphi * nx + sphi * tx) * inv_u
+        npy = (cphi * ny + sphi * ty) * inv_u
+        npz = (cphi * nz + sphi * tz) * inv_u
+        ddx = npx - s["px"]
+        ddy = npy - s["py"]
+        ddz = npz - s["pz"]
+        inv_seg = rnorm(ddx, ddy, ddz)
+        seg_len = 1.0 / inv_seg
+        sdx, sdy, sdz = ddx * inv_seg, ddy * inv_seg, ddz * inv_seg
+
+        best, bh = segment_min_dist(s["px"], s["py"], s["pz"],
+                                    sdx, sdy, sdz, seg_len)
+        any_hit = live & (jnp.minimum(best, bh) < f32(np.inf))
+        bh_closest = any_hit & (bh <= best)  # BH wins ties (frag:757 init)
+
+        # Record the segment into the next free slot.
+        nh = s["nhits"]
+        new_state = dict(s)
+        for k in range(n_slots):
+            take = any_hit & (nh == float(k))
+            new_state[f"sx{k}"] = sel(take, s["px"], s[f"sx{k}"])
+            new_state[f"sy{k}"] = sel(take, s["py"], s[f"sy{k}"])
+            new_state[f"sz{k}"] = sel(take, s["pz"], s[f"sz{k}"])
+            new_state[f"sdx{k}"] = sel(take, sdx, s[f"sdx{k}"])
+            new_state[f"sdy{k}"] = sel(take, sdy, s[f"sdy{k}"])
+            new_state[f"sdz{k}"] = sel(take, sdz, s[f"sdz{k}"])
+            new_state[f"slen{k}"] = sel(take, seg_len, s[f"slen{k}"])
+        nh = jnp.where(any_hit & (nh < float(n_slots)), nh + 1.0, nh)
+
+        captured = bh_closest
+        status = jnp.where(captured, f32(STATUS_CAPTURED), status)
+        live = live & ~captured
+
+        moved = live | captured
+        new_state.update(
+            px=sel(moved, npx, s["px"]), py=sel(moved, npy, s["py"]),
+            pz=sel(moved, npz, s["pz"]),
+            dx=sel(moved, sdx, s["dx"]), dy=sel(moved, sdy, s["dy"]),
+            dz=sel(moved, sdz, s["dz"]),
+            nx=nx, ny=ny, nz=nz, tx=tx, ty=ty, tz=tz,
+            u=sel(moved, u1, u0), du=sel(moved, du1, du0),
+            phi=sel(moved, phi, s["phi"]),
+            status=status, live=live.astype(f32), nhits=nh,
+        )
+        return new_state
+
+    state = jax.lax.fori_loop(0, max_steps, body, state)
+
+    final_status = jnp.where(state["live"] > 0.5, f32(STATUS_ESCAPED),
+                             state["status"])
+    fdx_ref[:] = state["dx"]
+    fdy_ref[:] = state["dy"]
+    fdz_ref[:] = state["dz"]
+    fpx_ref[:] = state["px"]
+    fpy_ref[:] = state["py"]
+    fpz_ref[:] = state["pz"]
+    st_ref[:] = final_status
+    for k in range(n_slots):
+        base = k * 7
+        slot_refs[base + 0][:] = state[f"sx{k}"]
+        slot_refs[base + 1][:] = state[f"sy{k}"]
+        slot_refs[base + 2][:] = state[f"sz{k}"]
+        slot_refs[base + 3][:] = state[f"sdx{k}"]
+        slot_refs[base + 4][:] = state[f"sdy{k}"]
+        slot_refs[base + 5][:] = state[f"sdz{k}"]
+        slot_refs[base + 6][:] = state[f"slen{k}"]
+
+
+def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
+                n_slots: int = 4, block_h: int = 8, block_w: int = 128,
+                interpret: bool = False):
+    """Pallas scene march.  Returns (final_dir, final_pos, status, slots)
+    where slots is a list of K (start (H,W,3), dir (H,W,3), length (H,W))."""
+    H, W = active.shape
+    pad_h = (-H) % block_h
+    pad_w = (-W) % block_w
+
+    def pad(x):
+        return jnp.pad(x, ((0, pad_h), (0, pad_w)))
+
+    comps = [pad(origin[..., i]) for i in range(3)]
+    comps += [pad(direction[..., i]) for i in range(3)]
+    comps += [pad(active.astype(jnp.float32))]
+    ph, pw = comps[0].shape
+
+    tables = _pack_scene_smem(sc)
+    table_names = tuple(sorted(tables))
+    table_rows = {k: int(tables[k].shape[0]) for k in table_names}
+
+    grid = (ph // block_h, pw // block_w)
+    tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(
+        _scene_march_kernel,
+        table_names=table_names,
+        table_rows=table_rows,
+        n_slots=n_slots,
+        max_steps=cfg.max_steps,
+        max_angle=float(cfg.max_angle),
+        u_f=float(cfg.u_f),
+    )
+    n_out = 7 + 7 * n_slots
+    out_shape = [jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * n_out
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[scalar] * (1 + len(table_names)) + [tile] * 7,
+        out_specs=[tile] * n_out,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray(r_s, jnp.float32).reshape(1, 1),
+      *[tables[k] for k in table_names], *comps)
+
+    def crop(x):
+        return x[:H, :W]
+
+    fdir = jnp.stack([crop(outs[0]), crop(outs[1]), crop(outs[2])], -1)
+    fpos = jnp.stack([crop(outs[3]), crop(outs[4]), crop(outs[5])], -1)
+    status = crop(outs[6])
+    slots = []
+    for k in range(n_slots):
+        b = 7 + k * 7
+        start = jnp.stack([crop(outs[b]), crop(outs[b + 1]), crop(outs[b + 2])], -1)
+        sdir = jnp.stack([crop(outs[b + 3]), crop(outs[b + 4]), crop(outs[b + 5])], -1)
+        slen = crop(outs[b + 6])
+        slots.append((start, sdir, slen))
+    return fdir, fpos, status, slots
+
+
+def render_fast(
+    sc: Scene,
+    cam: cam_mod.Camera,
+    cfg: RenderConfig,
+    background: Texture,
+    tex: Optional[TextureStack] = None,
+    r_s=1.0,
+    n_slots: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full-featured fast renderer: Pallas march + K-slot jnp shading.
+
+    Matches render() for scenes without test rays (tested in
+    tests/test_kernel_scene.py); fall back to render() for test-ray overlays
+    and horizon_softness.
+    """
+    f32 = jnp.float32
+    r_s = jnp.asarray(r_s, f32)
+    H, W = cfg.height, cfg.width
+
+    u_ndc, v_ndc = cam_mod.pixel_grid(W, H)
+    origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc, W, H)
+    batch = u_ndc.shape
+
+    base = jnp.zeros(batch + (4,), f32)
+    if cfg.crosshair:
+        ch = crosshair_mask(u_ndc, v_ndc, W, H)
+        base = jnp.where(ch[..., None], jnp.array(CROSSHAIR_COLOR, f32), base)
+
+    if cfg.raytrace_type == cam_mod.FLAT:
+        mode_flat = jnp.ones(batch, bool)
+    elif cfg.raytrace_type == cam_mod.HALF_WIDTH:
+        mode_flat = u_ndc > 2.0 * cfg.curved_percentage - 1.0
+    elif cfg.raytrace_type == cam_mod.HALF_HEIGHT:
+        mode_flat = v_ndc > 2.0 * cfg.curved_percentage - 1.0
+    else:
+        mode_flat = jnp.zeros(batch, bool)
+
+    normal_vec0 = geo.safe_normalize(origin)
+    flat_px = mode_flat | physics.is_radial(direction, normal_vec0)
+
+    uv_vec = jnp.stack([u_ndc, v_ndc * (H / W)], axis=-1)
+    if cfg.percent_black >= 0.0 and cfg.noise_mode != "none":
+        if cfg.noise_mode == "glsl":
+            rnd = glsl_rand(uv_vec)
+        elif cfg.noise_mode == "hash":
+            rnd = pixel_hash_rand(W, H, cfg.noise_seed)
+        else:
+            rnd = jax.random.uniform(jax.random.key(cfg.noise_seed), batch)
+        noise_skip = ~flat_px & (rnd <= f32(cfg.percent_black))
+    else:
+        noise_skip = jnp.zeros(batch, bool)
+
+    march_px = ~flat_px & ~noise_skip
+
+    if cfg.raytrace_type != cam_mod.FLAT:
+        fdir, fpos, status, slots = march_scene(
+            origin, direction, march_px, r_s, sc, cfg, n_slots=n_slots,
+            interpret=interpret)
+    else:
+        fdir, fpos = direction, origin
+        status = jnp.full(batch, STATUS_ESCAPED, f32)
+        slots = []
+
+    # Slot shading: re-intersect each recorded segment with the full jnp
+    # machinery and compose additively with the first-opaque cutoff.
+    color = jnp.zeros(batch + (4,), f32)
+    open_ = march_px  # still accumulating (no opaque hit yet)
+    for start, sdir, slen in slots:
+        rec = slen > 0.0
+
+        def slot_pass(ops):
+            start, sdir, slen, rec = ops
+            # Inflate the window slightly: the kernel's f32 lambda and the
+            # jnp recomputation differ by ~1 ulp, and a recorded hit must not
+            # fall off the end of its own segment.
+            window = jnp.where(rec, slen * 1.0001 + 1e-5, -1.0)
+            hit = intersect_scene(start, sdir, window, sc, r_s)
+            rgba = shade(hit, -sdir, sc, tex)
+            return rgba, hit.valid
+
+        def empty_pass(ops):
+            return (jnp.zeros(batch + (4,), f32), jnp.zeros(batch, bool))
+
+        # Runtime-skip slots nobody filled (typically slots 2+): lax.cond
+        # executes one branch only under jit.
+        rgba, hvalid = jax.lax.cond(jnp.any(rec), slot_pass, empty_pass,
+                                    (start, sdir, slen, rec))
+        take = rec & open_ & hvalid
+        color = color + jnp.where(take[..., None], rgba, 0.0)
+        open_ = open_ & ~(take & (rgba[..., 3] == 1.0))
+
+    # Flat pixels + far-field flat finishers: one unbounded intersect.
+    # The kernel marches on past opaque hits (it cannot evaluate opacity), so
+    # a FLAT_FINISH status only counts if no earlier slot was opaque (open_).
+    flat_mask = flat_px | ((status == STATUS_FLAT_FINISH) & open_)
+    use_pos = jnp.where(flat_px[..., None], origin, fpos)
+    use_dir = jnp.where(flat_px[..., None], direction, fdir)
+    flat_hit = intersect_scene(use_pos, use_dir, jnp.full(batch, -1.0, f32),
+                               sc, r_s)
+    flat_rgba = shade(flat_hit, -use_dir, sc, tex)
+    flat_take = flat_mask & flat_hit.valid
+    color = color + jnp.where(flat_take[..., None], flat_rgba, 0.0)
+    flat_needs_bg = flat_mask & (jnp.where(flat_take, flat_rgba[..., 3], 0.0) != 1.0)
+
+    # Background: march rays that never found an opaque hit (escaped,
+    # exhausted — not captured: capture IS an opaque slot) + flat non-opaque.
+    march_bg = march_px & open_ & (status != STATUS_FLAT_FINISH)
+    bg = get_background(background, use_dir)
+    color = color + jnp.where((march_bg | flat_needs_bg)[..., None], bg, 0.0)
+
+    return base + color
