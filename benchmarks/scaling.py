@@ -1,0 +1,91 @@
+"""Rays/s scaling-efficiency harness (BASELINE.md: >=85% at 1 chip, 1 host,
+4 hosts).
+
+Measures per-frame device time of the sharded renderer on meshes of
+increasing size and reports efficiency = (throughput_n / n) / throughput_1.
+On the single-chip CI machine this runs on the virtual CPU mesh, which shares
+one set of host cores — wall-clock efficiency there is meaningless, so the
+harness reports it but the CI test only checks mechanics; on a real pod slice
+run:  python -m benchmarks.scaling --sizes 1,2,4,8
+
+Timing uses the dependent-chain-slope methodology from bench.py (the tunnel's
+async queue makes naive timing unreliable).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def measure_mesh(n_devices: int, size: int = 256, chains=(4, 12)) -> float:
+    """Seconds per frame on an n-device mesh (slope of dependent chains)."""
+    import schwarzschild_tpu as st
+    from schwarzschild_tpu import configs
+    from schwarzschild_tpu.render import render
+    from schwarzschild_tpu.sharding import image_sharding, make_mesh, replicated
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = st.RenderConfig(width=size, height=size, percent_black=-1.0,
+                          checkpoint_every=0, max_steps=20)
+    sc = st.build_scene([st.HollowDisk()], [st.Light(intensity=8.0)])
+    cam = configs.demo_camera()
+    bg = st.solid_color_texture((0.2, 0.2, 0.4, 1.0))
+
+    mesh = make_mesh(jax.devices()[:n_devices], shape=(n_devices, 1))
+    out_sh = image_sharding(mesh)
+    rep = replicated(mesh)
+
+    def mk(chain):
+        @jax.jit
+        def chained(r0):
+            def body(r, _):
+                img = jax.lax.with_sharding_constraint(
+                    render(sc, cam, cfg, bg, None, r), out_sh)
+                return r + 1e-7 * jnp.mean(img), None
+
+            r, _ = jax.lax.scan(body, r0, None, length=chain)
+            return r
+
+        return chained
+
+    totals = []
+    for chain in chains:
+        f = mk(chain)
+        float(f(jnp.float32(1.0)))
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(f(jnp.float32(1.0 + 1e-5 * i)))
+            best = min(best, time.perf_counter() - t0)
+        totals.append(best)
+    return (totals[1] - totals[0]) / (chains[1] - chains[0])
+
+
+def run(sizes, image_size=256):
+    results = {}
+    t1 = None
+    for n in sizes:
+        if n > len(jax.devices()):
+            break
+        t = measure_mesh(n, image_size)
+        if t1 is None:
+            t1 = t
+        throughput = image_size * image_size / t
+        eff = (throughput / n) / (image_size * image_size / t1)
+        results[n] = {"s_per_frame": t, "rays_per_s": throughput,
+                      "efficiency_vs_1": eff}
+    return results
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1,2,4,8")
+    ap.add_argument("--image-size", type=int, default=256)
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+    print(json.dumps(run(sizes, args.image_size), indent=2))

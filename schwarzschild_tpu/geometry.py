@@ -14,11 +14,57 @@ jnp so they can be jitted/vmapped/differentiated freely.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
 EPSILON = 1e-7  # black_hole.frag:30
 
 IDENTITY_AXES = jnp.eye(3, dtype=jnp.float32)
+
+
+class Transform(NamedTuple):
+    """Position + column frame — the PyTree replacement of the reference's
+    Transform class (src/lib/Objects/Transform/transform.h:9-50).
+
+    ``axes`` columns are (right, up, forward); use :func:`quat_to_axes` /
+    :func:`angle_axis` for the quaternion setter and the ``calculate_*``
+    helpers below for orthonormal recompletion (transform.cpp:48-56).
+    """
+
+    pos: jnp.ndarray  # (3,)
+    axes: jnp.ndarray  # (3, 3)
+
+    @property
+    def right(self):
+        return self.axes[..., :, 0]
+
+    @property
+    def up(self):
+        return self.axes[..., :, 1]
+
+    @property
+    def forward(self):
+        return self.axes[..., :, 2]
+
+    def with_forward_from_right_up(self) -> "Transform":
+        f = normalize(cross(self.right, self.up))
+        return self._replace(axes=jnp.stack([self.right, self.up, f], -1))
+
+    def with_right_from_up_forward(self) -> "Transform":
+        r = normalize(cross(self.up, self.forward))
+        return self._replace(axes=jnp.stack([r, self.up, self.forward], -1))
+
+    def with_up_from_forward_right(self) -> "Transform":
+        u = normalize(cross(self.forward, self.right))
+        return self._replace(axes=jnp.stack([self.right, u, self.forward], -1))
+
+
+def make_transform(pos=(0.0, 0.0, 0.0), axes=None) -> Transform:
+    return Transform(
+        pos=jnp.asarray(pos, jnp.float32),
+        axes=IDENTITY_AXES if axes is None else jnp.asarray(axes, jnp.float32),
+    )
 
 
 def mat_vec(m, v):

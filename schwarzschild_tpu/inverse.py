@@ -97,6 +97,21 @@ def make_loss(sc: Scene, cfg: RenderConfig, background: Texture,
     return loss_fn
 
 
+def default_optimizer(learning_rate=2e-2) -> optax.GradientTransformation:
+    """Adam with global-norm clipping, skipping non-finite updates.
+
+    The loss surface has visibility discontinuities, and rare TPU lanes can
+    emit a non-finite gradient (fast-approximation edge cases the f32 CPU
+    path doesn't hit); ``apply_if_finite`` drops such steps instead of
+    poisoning the optimizer state.
+    """
+    return optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0),
+                    optax.adam(learning_rate)),
+        max_consecutive_errors=20,
+    )
+
+
 def make_train_step(loss_fn, optimizer: optax.GradientTransformation):
     @jax.jit
     def train_step(params, opt_state):
@@ -118,7 +133,7 @@ def fit(sc, cfg, background, tex, disk_slot, target, cam0, r_s0=0.7,
     only its tail (SURVEY section 5 'failure detection').
     """
     params = init_params(cam0, r_s0, tex, disk_slot)
-    optimizer = optax.adam(learning_rate)
+    optimizer = default_optimizer(learning_rate)
     opt_state = optimizer.init(params)
     start_step = 0
 

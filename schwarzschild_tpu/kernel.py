@@ -161,7 +161,8 @@ def _march_kernel(rs_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         live = live & ~escaped
 
         # --- reconstruct segment (frag:924-928) ---
-        u_rec = jnp.where(jnp.abs(u1) < 1e-20, 1e-20, u1)
+        # r clamped to 1e6 (see render.py: overflow guard far past u_f).
+        u_rec = jnp.maximum(u1, 1e-6)
         inv_u = 1.0 / u_rec
         npx = (jnp.cos(phi) * nx + jnp.sin(phi) * tx) * inv_u
         npy = (jnp.cos(phi) * ny + jnp.sin(phi) * ty) * inv_u

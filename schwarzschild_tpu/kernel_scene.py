@@ -335,7 +335,8 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
         live = live & ~escaped
 
         # Segment (frag:924-928).
-        u_rec = jnp.where(jnp.abs(u1) < 1e-20, 1e-20, u1)
+        # r clamped to 1e6 (see render.py: overflow guard far past u_f).
+        u_rec = jnp.maximum(u1, 1e-6)
         inv_u = 1.0 / u_rec
         cphi, sphi = jnp.cos(phi), jnp.sin(phi)
         npx = (cphi * nx + sphi * tx) * inv_u

@@ -147,7 +147,11 @@ def _march_step(
     active = active & ~escaped
 
     # --- reconstruct segment (frag:924-928) ---
-    u_rec = jnp.where(jnp.abs(u_new) < 1e-20, 1e-20, u_new)
+    # Clamp u away from 0: an escaping lane can cross u ~ 1e-7 in one step,
+    # and r = 1/u beyond ~1e6 overflows squared dot products downstream
+    # (f32 inf -> NaN cotangents in reverse mode; r > 1e6 is 4 orders past
+    # the far-field boundary, so only the — unchanged — direction matters).
+    u_rec = jnp.maximum(u_new, 1e-6)
     new_pos = physics.reconstruct_position(phi, u_rec, normal_vec, tangent_vec)
     delta = new_pos - state.pos
     seg_len = geo.safe_length(delta)

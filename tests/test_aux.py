@@ -1,0 +1,74 @@
+"""Auxiliary subsystems: metrics, profiling/validation, animation driver."""
+
+import json
+
+import numpy as np
+import pytest
+
+import schwarzschild_tpu as st
+from schwarzschild_tpu import configs
+from schwarzschild_tpu.animation import render_trajectory
+from schwarzschild_tpu.metrics import FrameTimer, MetricsLogger
+from schwarzschild_tpu.profiling import device_time, validate_scene
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    path = tmp_path / "m.jsonl"
+    log = MetricsLogger(path)
+    log.log("frame", frame=0, seconds=0.5)
+    with FrameTimer(log, frame=1, n_rays=100, max_steps=10):
+        pass
+    lines = [json.loads(l) for l in path.read_text().splitlines()]
+    assert lines[0]["event"] == "frame" and lines[0]["frame"] == 0
+    assert lines[1]["rk4_steps"] == 1000
+    log.to_csv(tmp_path / "m.csv")
+    assert (tmp_path / "m.csv").read_text().count("\n") >= 3
+
+
+def test_validate_scene_catches_bad_axes():
+    sc = configs.demo_scene()
+    assert validate_scene(sc)
+    bad = sc._replace(spheres=sc.spheres._replace(
+        axes=sc.spheres.axes * 2.0))
+    with pytest.raises(ValueError, match="orthonormal"):
+        validate_scene(bad)
+
+
+def test_validate_scene_catches_bad_hollow_disk():
+    sc = st.build_scene([st.HollowDisk(inner_radius=5.0, outer_radius=2.0)])
+    with pytest.raises(ValueError, match="inner"):
+        validate_scene(sc)
+
+
+def test_device_time_positive():
+    import jax.numpy as jnp
+
+    t = device_time(lambda r: jnp.sum(jnp.ones((64, 64)) * r), chains=(2, 4),
+                    trials=1)
+    assert np.isfinite(t)
+
+
+def test_render_trajectory_resumable(tmp_path):
+    sc = st.empty_scene()
+    cfg = st.RenderConfig(width=24, height=16, max_steps=10,
+                          percent_black=-1.0, checkpoint_every=5)
+    bg = st.solid_color_texture((0.3, 0.2, 0.1, 1.0))
+    log = MetricsLogger()
+    out = render_trajectory(sc, cfg, bg, n_frames=3, out_dir=tmp_path,
+                            logger=log, all_frames_local=True)
+    assert len(out) == 3
+    assert all((tmp_path / f"frame_{i:05d}.png").exists() for i in range(3))
+    # Second run skips all frames (idempotent).
+    log2 = MetricsLogger()
+    out2 = render_trajectory(sc, cfg, bg, n_frames=3, out_dir=tmp_path,
+                             logger=log2, all_frames_local=True)
+    assert sum(1 for r in log2.records if r["event"] == "frame_skipped") == 3
+
+
+def test_transform_pytree():
+    from schwarzschild_tpu.geometry import make_transform
+
+    t = make_transform((1.0, 2.0, 3.0))
+    np.testing.assert_allclose(np.asarray(t.forward), [0, 0, 1])
+    t2 = t.with_up_from_forward_right()
+    np.testing.assert_allclose(np.asarray(t2.up), [0, 1, 0], atol=1e-6)
