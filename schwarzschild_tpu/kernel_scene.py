@@ -65,51 +65,51 @@ def _pack_scene_smem(sc: Scene):
     rects: (N,12) [pos, ax0, normal(ax1), ax2] + (N,2) [w,h] merged -> (N,14)
     boxes -> 6 rect rows each: (N*6, 14)
     """
-    f32 = np.float32
     out = {}
 
-    def np_(x):
-        return np.asarray(x, f32)
+    def jn(x):
+        # jnp (not numpy) so the packing traces under jit with a traced scene.
+        return jnp.asarray(x, jnp.float32)
 
     if sc.spheres.radius.shape[0]:
-        out["spheres"] = jnp.asarray(
-            np.concatenate([np_(sc.spheres.pos), np_(sc.spheres.radius)[:, None]], 1))
+        out["spheres"] = jnp.concatenate(
+            [jn(sc.spheres.pos), jn(sc.spheres.radius)[:, None]], 1)
     if sc.planes.mat_idx.shape[0]:
-        out["planes"] = jnp.asarray(
-            np.concatenate([np_(sc.planes.pos), np_(sc.planes.axes)[:, :, 1]], 1))
+        out["planes"] = jnp.concatenate(
+            [jn(sc.planes.pos), jn(sc.planes.axes)[:, :, 1]], 1)
     if sc.disks.mat_idx.shape[0]:
-        out["disks"] = jnp.asarray(np.concatenate([
-            np_(sc.disks.pos), np_(sc.disks.axes)[:, :, 1],
-            (np_(sc.disks.radius) ** 2)[:, None]], 1))
+        out["disks"] = jnp.concatenate([
+            jn(sc.disks.pos), jn(sc.disks.axes)[:, :, 1],
+            (jn(sc.disks.radius) ** 2)[:, None]], 1)
     if sc.hollow_disks.mat_idx.shape[0]:
-        out["hollow"] = jnp.asarray(np.concatenate([
-            np_(sc.hollow_disks.pos), np_(sc.hollow_disks.axes)[:, :, 1],
-            (np_(sc.hollow_disks.inner_radius) ** 2)[:, None],
-            (np_(sc.hollow_disks.outer_radius) ** 2)[:, None]], 1))
+        out["hollow"] = jnp.concatenate([
+            jn(sc.hollow_disks.pos), jn(sc.hollow_disks.axes)[:, :, 1],
+            (jn(sc.hollow_disks.inner_radius) ** 2)[:, None],
+            (jn(sc.hollow_disks.outer_radius) ** 2)[:, None]], 1)
     if sc.cylinders.mat_idx.shape[0]:
-        ax = np_(sc.cylinders.axes)
-        out["cylinders"] = jnp.asarray(np.concatenate([
-            np_(sc.cylinders.pos),
+        ax = jn(sc.cylinders.axes)
+        out["cylinders"] = jnp.concatenate([
+            jn(sc.cylinders.pos),
             ax[:, :, 0], ax[:, :, 1], ax[:, :, 2],
-            np_(sc.cylinders.height)[:, None],
-            np_(sc.cylinders.radius)[:, None]], 1))
+            jn(sc.cylinders.height)[:, None],
+            jn(sc.cylinders.radius)[:, None]], 1)
 
     rect_rows = []
     if sc.rectangles.mat_idx.shape[0]:
-        ax = np_(sc.rectangles.axes)
-        rect_rows.append(np.concatenate([
-            np_(sc.rectangles.pos), ax[:, :, 0], ax[:, :, 1], ax[:, :, 2],
-            np_(sc.rectangles.width)[:, None],
-            np_(sc.rectangles.height)[:, None]], 1))
+        ax = jn(sc.rectangles.axes)
+        rect_rows.append(jnp.concatenate([
+            jn(sc.rectangles.pos), ax[:, :, 0], ax[:, :, 1], ax[:, :, 2],
+            jn(sc.rectangles.width)[:, None],
+            jn(sc.rectangles.height)[:, None]], 1))
     if sc.boxes.mat_idx.shape[0]:
-        fp = np_(sc.boxes.face_pos).reshape(-1, 3)
-        fa = np_(sc.boxes.face_axes).reshape(-1, 3, 3)
-        fw = np_(sc.boxes.face_width).reshape(-1, 1)
-        fh = np_(sc.boxes.face_height).reshape(-1, 1)
-        rect_rows.append(np.concatenate(
+        fp = jn(sc.boxes.face_pos).reshape(-1, 3)
+        fa = jn(sc.boxes.face_axes).reshape(-1, 3, 3)
+        fw = jn(sc.boxes.face_width).reshape(-1, 1)
+        fh = jn(sc.boxes.face_height).reshape(-1, 1)
+        rect_rows.append(jnp.concatenate(
             [fp, fa[:, :, 0], fa[:, :, 1], fa[:, :, 2], fw, fh], 1))
     if rect_rows:
-        out["rects"] = jnp.asarray(np.concatenate(rect_rows, 0))
+        out["rects"] = jnp.concatenate(rect_rows, 0)
     return out
 
 
