@@ -97,18 +97,41 @@ def make_loss(sc: Scene, cfg: RenderConfig, background: Texture,
     return loss_fn
 
 
-def default_optimizer(learning_rate=2e-2) -> optax.GradientTransformation:
-    """Adam with global-norm clipping, skipping non-finite updates.
+def zero_nonfinite() -> optax.GradientTransformation:
+    """Zero out non-finite gradient entries (NaN and inf).
 
-    The loss surface has visibility discontinuities, and rare TPU lanes can
-    emit a non-finite gradient (fast-approximation edge cases the f32 CPU
-    path doesn't hit); ``apply_if_finite`` drops such steps instead of
-    poisoning the optimizer state.
+    A single diverged ray lane poisons its whole reduced gradient leaf; on
+    TPU, FMA-contraction rounding occasionally sends a near-critical geodesic
+    through an unguarded backward case that the CPU trajectories miss (known
+    issue, see memory/round-1 notes).  Zeroing the bad entries lets every
+    finite direction keep optimizing instead of freezing the step.
     """
-    return optax.apply_if_finite(
-        optax.chain(optax.clip_by_global_norm(1.0),
-                    optax.adam(learning_rate)),
-        max_consecutive_errors=20,
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)),
+            updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def default_optimizer(learning_rate=2e-2) -> optax.GradientTransformation:
+    """Adam with non-finite-entry zeroing and global-norm clipping.
+
+    The loss surface has visibility discontinuities and the march backward
+    can emit non-finite entries on rare lanes; sanitize, then clip, then
+    adam.
+    """
+    return optax.chain(
+        zero_nonfinite(),
+        optax.clip_by_global_norm(1.0),
+        optax.adam(learning_rate),
     )
 
 
