@@ -28,12 +28,24 @@ from .scene import Scene
 from .textures import Texture, TextureStack
 
 
-def make_diff_horizon_sky(cfg: RenderConfig):
-    """Differentiable horizon+sky renderer: kernel forward, remat backward.
+def make_diff_horizon_sky(cfg: RenderConfig, backward: str = "kernel"):
+    """Differentiable horizon+sky renderer: kernel forward, kernel-speed
+    backward.
 
     Returns f(cam, background_data, r_s) -> (H, W, 4).  Gradients flow to all
-    three arguments via the jnp twin.
+    three arguments.  ``backward="kernel"`` (default) uses the checkpointed
+    dynamics-replay VJP on the march (``kernel.march_bh_jnp``);
+    ``backward="twin"`` is the round-1 dense-twin VJP (gradient oracle).
     """
+    if backward == "kernel":
+        def f(cam, bg_data, r_s):
+            return render_horizon_sky(cam, cfg, Texture(data=bg_data), r_s,
+                                      differentiable=True)
+
+        return f
+    if backward != "twin":
+        raise ValueError(f"unknown backward mode {backward!r}")
+
     from .scene import build_scene
 
     empty = build_scene([], [])
@@ -59,11 +71,31 @@ def make_diff_horizon_sky(cfg: RenderConfig):
 
 def make_diff_scene_renderer(cfg: RenderConfig, sc: Scene,
                              tex: TextureStack | None = None,
-                             n_slots: int = 4):
-    """Differentiable full-scene renderer: scene-kernel forward, remat
+                             n_slots: int = 4, backward: str = "kernel"):
+    """Differentiable full-scene renderer: scene-kernel forward, kernel-speed
     backward.  f(cam, background_data, r_s) -> image; the scene/textures are
-    closed over (optimize them through the jnp path directly if needed)."""
+    closed over (optimize them through the jnp path directly if needed).
+
+    ``backward``:
+      * "kernel" (default): the march carries a custom_vjp whose backward is
+        a checkpointed VALIDITY-march replay (``march_scene_jnp``) — ~10x
+        fewer ops per RK4 step than the dense twin, because per-step
+        intersect+shade never runs; slot shading (K passes) differentiates
+        directly.  This is the round-2 fast gradient path.
+      * "twin": round-1 behavior — jax.vjp of the full dense jnp renderer
+        (kept as the gradient correctness oracle).
+    """
     from .kernel_scene import render_fast
+
+    if backward == "kernel":
+        def f(cam, bg_data, r_s):
+            return render_fast(sc, cam, cfg, Texture(data=bg_data), tex, r_s,
+                               n_slots=n_slots, overflow="ignore",
+                               differentiable=True)
+
+        return f
+    if backward != "twin":
+        raise ValueError(f"unknown backward mode {backward!r}")
 
     def _jnp_render(cam, bg_data, r_s):
         return render(sc, cam, cfg, Texture(data=bg_data), tex, r_s)
@@ -71,7 +103,7 @@ def make_diff_scene_renderer(cfg: RenderConfig, sc: Scene,
     @jax.custom_vjp
     def f(cam, bg_data, r_s):
         return render_fast(sc, cam, cfg, Texture(data=bg_data), tex, r_s,
-                           n_slots=n_slots)
+                           n_slots=n_slots, overflow="ignore")
 
     def fwd(cam, bg_data, r_s):
         return f(cam, bg_data, r_s), (cam, bg_data, r_s)

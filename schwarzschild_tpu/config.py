@@ -35,10 +35,12 @@ class RenderConfig:
     # Reverse-mode memory: checkpoint the march every this many RK4 steps
     # (sqrt-style rematerialization); 0 = no checkpointing (scan stores all).
     checkpoint_every: int = 10
-    # Inverse-rendering aid: > 0 smooths the event-horizon silhouette by
-    # giving grazing hits (|cos incidence| < softness) a partial alpha, making
-    # the image CONTINUOUS in r_s/camera so the shadow edge carries usable
-    # gradients.  0.0 (default) = the reference's hard opaque horizon
+    # Inverse-rendering aid: > 0 smooths the event-horizon silhouette with a
+    # sigmoid of the photon's conserved impact parameter b against the exact
+    # shadow radius b_crit = 3*sqrt(3)/2 * r_s — background contributions are
+    # scaled by 1 - sigmoid((b_crit - b)/softness), so the shadow edge becomes
+    # CONTINUOUS in r_s/camera and carries usable gradients (render.py:297-317
+    # implements this).  0.0 (default) = the reference's hard opaque horizon
     # (exact parity).  Not present in the reference — hard visibility gives
     # no silhouette gradient at all (SURVEY section 7 "gradients through
     # discrete events").

@@ -26,9 +26,11 @@ def calculate_test_ray(cam: Camera, capacity: int = MAX_STEPS + 1,
                        r_s: float = 1.0) -> TestRay:
     """CPU float32 RK4 test-ray integration (main.cpp:94-124).
 
-    Stops when u < 0 (escape) or u > 1 (fell through the horizon,
-    main.cpp:117) — note this differs from the shader march, which tests the
-    horizon as a scene sphere.  Returns a fixed-capacity TestRay.
+    Stops when u < 0 (escape) or u > 1/r_s (fell through the horizon —
+    main.cpp:117 hard-codes u > 1 because the reference fixes r_s = 1; with
+    r_s a free parameter the radius test r < r_s is u·r_s > 1) — note this
+    differs from the shader march, which tests the horizon as a scene sphere.
+    Returns a fixed-capacity TestRay.
     """
     f32 = np.float32
     direction = np.asarray(cam.forward, f32)
@@ -53,7 +55,7 @@ def calculate_test_ray(cam: Camera, capacity: int = MAX_STEPS + 1,
             phi = phi + h
             d_u, d_du = _rk4(u, du, h, f32(r_s))
             u = u + d_u
-            if u < 0.0 or u > 1.0:  # main.cpp:117
+            if u < 0.0 or u * f32(r_s) > 1.0:  # main.cpp:117 (r_s=1 there)
                 break
             du = du + d_du
             pts.append(((np.cos(phi) * normal_vec + np.sin(phi) * tangent_vec)

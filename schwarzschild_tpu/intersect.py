@@ -434,11 +434,12 @@ def black_hole_candidate(origin, direction, max_lambda, r_s):
 
 
 def test_ray_candidates(origin, direction, max_lambda, test_ray: TestRay,
-                        radius=0.025, extended_length=1000.0):
+                        radius=0.025, extended_length=1000.0, r_s=1.0):
     """Test-ray tubes (frag:760-803): one flat cylinder along the straight ray
     plus a chain of cylinders through the integrated points; the final segment
     is extended to ``extended_length`` when the geodesic fell into the hole
-    (frag:782-784)."""
+    (frag:782-784 tests length < 1 because the reference fixes r_s = 1; here
+    the horizon radius ``r_s`` is threaded through)."""
     k = test_ray.points.shape[0]
     npts = test_ray.num_points
 
@@ -466,7 +467,7 @@ def test_ray_candidates(origin, direction, max_lambda, test_ray: TestRay,
     seg_idx = jnp.arange(k - 1)
     active = (seg_idx < npts - 1) & (npts >= 2)
     # Last valid segment extended when the final point is inside the horizon.
-    last_inside = geo.length(test_ray.points[jnp.maximum(npts - 1, 0)]) < 1.0
+    last_inside = geo.length(test_ray.points[jnp.maximum(npts - 1, 0)]) < r_s
     is_last = seg_idx == npts - 2
     seg_len = jnp.where(is_last & last_inside, extended_length, seg_len)
 
@@ -546,7 +547,8 @@ def intersect_scene(
     """
     cands = [black_hole_candidate(origin, direction, max_lambda, r_s)]
     if test_ray is not None:
-        flat, curved = test_ray_candidates(origin, direction, max_lambda, test_ray)
+        flat, curved = test_ray_candidates(origin, direction, max_lambda,
+                                           test_ray, r_s=r_s)
         cands.extend([flat, curved])
     if sc.spheres.radius.shape[0]:
         cands.append(
@@ -571,7 +573,13 @@ def intersect_scene(
         cands.append(box_candidates(origin, direction, max_lambda, sc.boxes))
 
     # Candidate order (bh, test rays, spheres, ..., boxes) + first-wins ties
-    # reproduces the reference's scan order.
+    # reproduces the reference's scan order for same-type objects and for the
+    # BH-first rule.  Known deviation (exact float-tie only): across DIFFERENT
+    # primitive types the reference scans objects[] in scene insertion order
+    # (frag:805-814), while this fixed per-type order can pick the other
+    # object when two hits are bit-identical in distance (e.g. a coplanar disk
+    # and rectangle).  Reproducing insertion-order ties would need interleaved
+    # per-object reduction; measure-zero in every shipped scene.
     best = None
     for c in cands:
         best = _reduce_cand(c, best)

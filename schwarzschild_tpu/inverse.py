@@ -86,12 +86,27 @@ def realize(params: InverseParams, tex: Optional[TextureStack],
 
 def make_loss(sc: Scene, cfg: RenderConfig, background: Texture,
               tex: Optional[TextureStack], disk_slot: Optional[int],
-              target):
-    """Mean-squared pixel error against ``target`` (H, W, 4)."""
+              target, renderer: str = "jnp"):
+    """Mean-squared pixel error against ``target`` (H, W, 4).
+
+    ``renderer="fast"`` renders through the Pallas kernel with the
+    kernel-speed backward (``render_fast(differentiable=True)``); "jnp" is
+    the dense differentiable twin."""
+    if renderer == "fast":
+        from .kernel_scene import render_fast
+
+        def render_any(sc, cam, cfg, background, tex_p, r_s):
+            return render_fast(sc, cam, cfg, background, tex_p, r_s,
+                               overflow="ignore", differentiable=True)
+    elif renderer == "jnp":
+        render_any = lambda sc, cam, cfg, background, tex_p, r_s: render(
+            sc, cam, cfg, background, tex_p, r_s)
+    else:
+        raise ValueError(f"unknown renderer {renderer!r}")
 
     def loss_fn(params: InverseParams):
         cam, r_s, tex_p = realize(params, tex, disk_slot)
-        img = render(sc, cam, cfg, background, tex_p, r_s=r_s)
+        img = render_any(sc, cam, cfg, background, tex_p, r_s=r_s)
         return jnp.mean((img - target) ** 2)
 
     return loss_fn
@@ -148,38 +163,46 @@ def make_train_step(loss_fn, optimizer: optax.GradientTransformation):
 
 def fit(sc, cfg, background, tex, disk_slot, target, cam0, r_s0=0.7,
         n_steps=200, learning_rate=2e-2, checkpoint_dir=None,
-        checkpoint_every=50, log_every=10, log_fn=print):
+        checkpoint_every=50, log_every=10, log_fn=print, renderer="jnp"):
     """Full optimization driver with orbax checkpoint/resume.
 
-    Resumes from the latest step found in ``checkpoint_dir``; writes
-    per-step loss history.  Idempotent per step, so a killed run re-runs
-    only its tail (SURVEY section 5 'failure detection').
+    Resumes from the latest step found in ``checkpoint_dir``; the per-step
+    loss history rides inside the checkpoint tree, so the returned history
+    covers ALL steps including those run before a resume.  Idempotent per
+    step, so a killed run re-runs only its tail (SURVEY section 5 'failure
+    detection').
     """
     params = init_params(cam0, r_s0, tex, disk_slot)
     optimizer = default_optimizer(learning_rate)
     opt_state = optimizer.init(params)
     start_step = 0
+    history = []
 
     ckpt = _Checkpointer(checkpoint_dir) if checkpoint_dir else None
     if ckpt:
-        restored = ckpt.restore_latest((params, opt_state))
+        restored = ckpt.restore_latest(
+            lambda step: (params, opt_state, jnp.zeros((step,), jnp.float32)))
         if restored is not None:
-            start_step, (params, opt_state) = restored
+            start_step, (params, opt_state, hist) = restored
+            history = [float(x) for x in np.asarray(hist)]
             log_fn(f"resumed from step {start_step}")
 
-    loss_fn = make_loss(sc, cfg, background, tex, disk_slot, target)
+    loss_fn = make_loss(sc, cfg, background, tex, disk_slot, target,
+                        renderer=renderer)
     train_step = make_train_step(loss_fn, optimizer)
 
-    history = []
+    def _tree():
+        return (params, opt_state, jnp.asarray(history, jnp.float32))
+
     for step in range(start_step, n_steps):
         params, opt_state, loss = train_step(params, opt_state)
         history.append(float(loss))
         if log_every and step % log_every == 0:
             log_fn(f"step {step}: loss {float(loss):.6f}")
         if ckpt and checkpoint_every and (step + 1) % checkpoint_every == 0:
-            ckpt.save(step + 1, (params, opt_state))
+            ckpt.save(step + 1, _tree())
     if ckpt:
-        ckpt.save(n_steps, (params, opt_state))
+        ckpt.save(n_steps, _tree())
     return params, history
 
 
@@ -201,10 +224,14 @@ class _Checkpointer:
         self._ckpt.save(path, tree, force=True)
 
     def restore_latest(self, template):
+        """``template`` is either a PyTree or a callable step -> PyTree (for
+        trees whose leaf shapes depend on the step, e.g. the loss history)."""
         steps = sorted(self._dir.glob("step_*"))
         if not steps:
             return None
         latest = steps[-1]
         step = int(latest.name.split("_")[1])
+        if callable(template):
+            template = template(step)
         tree = self._ckpt.restore(latest, item=template)
         return step, tree

@@ -42,48 +42,40 @@ STATUS_ESCAPED = 2.0
 _EPS = 1e-7  # black_hole.frag:30
 
 
-def _march_kernel(rs_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                  act_ref, fdx_ref, fdy_ref, fdz_ref, st_ref,
-                  *, max_steps: int, max_angle: float, u_f: float):
-    """One pixel tile: march every lane to capture/escape.
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
 
-    All refs are (BLOCK_H, W) f32 except rs_ref (1, 1) SMEM.
+
+def _rnorm(ax, ay, az):
+    return jax.lax.rsqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-20))
+
+
+def _tangent_of(nx, ny, nz, dx, dy, dz):
+    # t = normalize(cross(cross(n, d), n)) = normalize(d - n (n.d))
+    nd = _dot3(nx, ny, nz, dx, dy, dz)
+    tx = dx - nx * nd
+    ty = dy - ny * nd
+    tz = dz - nz * nd
+    inv = _rnorm(tx, ty, tz)
+    return tx * inv, ty * inv, tz * inv, nd
+
+
+def _init_bh_state(ox, oy, oz, dx, dy, dz, marching):
+    """Orbital-plane init (frag:865, 883-887) as a dict of arrays — shared by
+    the Pallas kernel (VMEM tiles) and the jnp twin (full planes).
+
+    Current position = ray origin; final dir starts as the camera dir.
+    NOTE: loop-carried values must be f32 vectors — Mosaic cannot legalize
+    scf.for with i1 vector carries, so the live mask rides as 0.0/1.0.
     """
     f32 = jnp.float32
-    r_s = rs_ref[0, 0]
-
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    marching = act_ref[:] > 0.5
-
-    def dot3(ax, ay, az, bx, by, bz):
-        return ax * bx + ay * by + az * bz
-
-    def rnorm(ax, ay, az):
-        return jax.lax.rsqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-20))
-
-    # Orbital-plane init (frag:865, 883-887).
-    inv_len_o = rnorm(ox, oy, oz)
+    inv_len_o = _rnorm(ox, oy, oz)
     nx, ny, nz = ox * inv_len_o, oy * inv_len_o, oz * inv_len_o
-
-    def tangent_of(nx, ny, nz, dx, dy, dz):
-        # t = normalize(cross(cross(n, d), n)) = normalize(d - n (n.d))
-        nd = dot3(nx, ny, nz, dx, dy, dz)
-        tx = dx - nx * nd
-        ty = dy - ny * nd
-        tz = dz - nz * nd
-        inv = rnorm(tx, ty, tz)
-        return tx * inv, ty * inv, tz * inv, nd
-
-    tx, ty, tz, nd0 = tangent_of(nx, ny, nz, dx, dy, dz)
+    tx, ty, tz, nd0 = _tangent_of(nx, ny, nz, dx, dy, dz)
     u = inv_len_o
-    dt0 = dot3(tx, ty, tz, dx, dy, dz)
+    dt0 = _dot3(tx, ty, tz, dx, dy, dz)
     du = -u * nd0 / jnp.where(jnp.abs(dt0) < 1e-20, 1e-20, dt0)
-
-    # Current position = ray origin; final dir starts as the camera dir.
-    # NOTE: loop-carried values must be f32 vectors — Mosaic cannot legalize
-    # scf.for with i1 vector carries, so the live mask rides as 0.0/1.0.
-    state = dict(
+    return dict(
         px=ox, py=oy, pz=oz,
         dx=dx, dy=dy, dz=dz,
         nx=nx, ny=ny, nz=nz,
@@ -93,13 +85,24 @@ def _march_kernel(rs_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         live=marching.astype(f32),
     )
 
+
+def _make_bh_body(r_s, *, max_steps: int, max_angle: float, u_f: float):
+    """Per-step horizon+sky march body(i, state) -> state; shared by the
+    Pallas kernel and the differentiable jnp twin."""
+    f32 = jnp.float32
+    dot3 = _dot3
+    rnorm = _rnorm
+    tangent_of = _tangent_of
+
     def sphere_entry(px, py, pz, dx, dy, dz, radius):
         """First positive lambda of a sphere at the origin (frag:457-470);
         returns (hit, lam)."""
         d_oc = dot3(dx, dy, dz, px, py, pz)
         oc2 = dot3(px, py, pz, px, py, pz)
         disc = d_oc * d_oc - oc2 + radius * radius
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        # Tiny positive clamp (not 0.0): sqrt'(0) = inf would NaN the replay
+        # backward on miss lanes (0 * inf).
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-20))
         lam1 = -d_oc - sq
         lam2 = -d_oc + sq
         lam = jnp.where((lam1 > 0) & (lam2 > 0), jnp.minimum(lam1, lam2),
@@ -196,19 +199,41 @@ def _march_kernel(rs_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             status=status, live=live.astype(f32),
         )
 
-    state = jax.lax.fori_loop(0, max_steps, body, state)
+    return body
 
-    # Exhausted marchers escape to the background (frag:935).
-    final_status = jnp.where(state["live"] > 0.5, f32(STATUS_ESCAPED),
-                             state["status"])
-    fdx_ref[:] = state["dx"]
-    fdy_ref[:] = state["dy"]
-    fdz_ref[:] = state["dz"]
+
+def _bh_final(state):
+    """Final state -> (fdx, fdy, fdz, status).  Exhausted marchers escape to
+    the background (frag:935)."""
+    final_status = jnp.where(state["live"] > 0.5,
+                             jnp.float32(STATUS_ESCAPED), state["status"])
+    return state["dx"], state["dy"], state["dz"], final_status
+
+
+def _march_kernel(rs_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                  act_ref, fdx_ref, fdy_ref, fdz_ref, st_ref,
+                  *, max_steps: int, max_angle: float, u_f: float):
+    """One pixel tile: march every lane to capture/escape.
+
+    All refs are (BLOCK_H, W) f32 except rs_ref (1, 1) SMEM.
+    """
+    r_s = rs_ref[0, 0]
+    state = _init_bh_state(ox_ref[:], oy_ref[:], oz_ref[:],
+                           dx_ref[:], dy_ref[:], dz_ref[:],
+                           act_ref[:] > 0.5)
+    body = _make_bh_body(r_s, max_steps=max_steps, max_angle=max_angle,
+                         u_f=u_f)
+    state = jax.lax.fori_loop(0, max_steps, body, state)
+    fdx, fdy, fdz, final_status = _bh_final(state)
+    fdx_ref[:] = fdx
+    fdy_ref[:] = fdy
+    fdz_ref[:] = fdz
     st_ref[:] = final_status
 
 
 def march_bh(origin, direction, active, r_s, cfg: RenderConfig,
-             block_h: int = 8, block_w: int = 128, interpret: bool = False):
+             block_h: int = 8, block_w: int = 128, interpret: bool = False,
+             mesh=None):
     """Run the Pallas march over (H, W) rays.
 
     origin/direction: (H, W, 3); active: (H, W) bool (lanes to march).
@@ -218,7 +243,17 @@ def march_bh(origin, direction, active, r_s, cfg: RenderConfig,
     ~18 vector values through its scf.for, and every extra tile per block
     multiplies the loop-carried register count (Mosaic compile time explodes
     beyond a few dozen).
+
+    ``mesh``: a ``jax.sharding.Mesh`` to shard the march over image tiles via
+    shard_map (each device launches the kernel on its local tile; r_s and all
+    shapes replicated).  None = single-device.
     """
+    if mesh is not None:
+        from .sharding import shard_march
+
+        fn = functools.partial(march_bh, cfg=cfg, block_h=block_h,
+                               block_w=block_w, interpret=interpret)
+        return shard_march(mesh, fn)(origin, direction, active, r_s)
     H, W = active.shape
     pad_h = (-H) % block_h
     pad_w = (-W) % block_w
@@ -256,12 +291,78 @@ def march_bh(origin, direction, active, r_s, cfg: RenderConfig,
     return final_dir, status[:H, :W]
 
 
+def march_bh_jnp(origin, direction, active, r_s, cfg: RenderConfig,
+                 checkpoint_every=None):
+    """Dense-jnp twin of the horizon+sky march — identical math/outputs.
+
+    Serves as the checkpointed BACKWARD replay of :func:`march_bh_diff` and
+    as a correctness oracle for the kernel."""
+    f32 = jnp.float32
+    state = _init_bh_state(
+        origin[..., 0], origin[..., 1], origin[..., 2],
+        direction[..., 0], direction[..., 1], direction[..., 2], active)
+    body = _make_bh_body(jnp.asarray(r_s, f32), max_steps=cfg.max_steps,
+                         max_angle=float(cfg.max_angle), u_f=float(cfg.u_f))
+    steps = jnp.arange(cfg.max_steps, dtype=jnp.int32)
+
+    def step_fn(s, i):
+        return body(i, s), None
+
+    ck = cfg.checkpoint_every if checkpoint_every is None else checkpoint_every
+    if ck and ck < cfg.max_steps:
+        if cfg.max_steps % ck:
+            raise ValueError(
+                f"checkpoint_every={ck} must divide max_steps={cfg.max_steps}")
+
+        def chunk_fn(s, idx):
+            out, _ = jax.lax.scan(step_fn, s, idx)
+            return out, None
+
+        state, _ = jax.lax.scan(jax.checkpoint(chunk_fn), state,
+                                steps.reshape(-1, ck))
+    else:
+        state, _ = jax.lax.scan(step_fn, state, steps)
+    fdx, fdy, fdz, status = _bh_final(state)
+    return jnp.stack([fdx, fdy, fdz], axis=-1), status
+
+
+def march_bh_diff(origin, direction, active, r_s, cfg: RenderConfig,
+                  interpret: bool = False, mesh=None):
+    """Differentiable horizon+sky march: Pallas forward, checkpointed jnp
+    replay backward (gradients to origin/direction/r_s at fixed discrete
+    capture/escape decisions)."""
+
+    @jax.custom_vjp
+    def f(origin, direction, r_s):
+        return march_bh(origin, direction, active, r_s, cfg,
+                        interpret=interpret, mesh=mesh)
+
+    def fwd(origin, direction, r_s):
+        return f(origin, direction, r_s), (origin, direction, r_s)
+
+    def bwd(residuals, cotangent):
+        origin, direction, r_s = residuals
+
+        def g(origin, direction, r_s):
+            return march_bh_jnp(origin, direction, active, r_s, cfg)
+
+        _, vjp = jax.vjp(g, origin, direction, jnp.asarray(r_s, jnp.float32))
+        return vjp(cotangent)
+
+    f.defvjp(fwd, bwd)
+    return f(origin, direction, jnp.asarray(r_s, jnp.float32))
+
+
 def render_horizon_sky(cam, cfg: RenderConfig, background: Texture, r_s=1.0,
-                       interpret: bool = False):
+                       interpret: bool = False, mesh=None,
+                       differentiable: bool = False):
     """Config-2 fast path: empty scene (horizon + equirect sky) rendered by
     the Pallas kernel + one jnp background gather.
 
     Matches render(empty_scene(), ...) — tested in tests/test_kernel.py.
+    ``mesh`` shards the march over image tiles (see :func:`march_bh`);
+    ``differentiable`` routes through :func:`march_bh_diff` (kernel forward,
+    checkpointed replay backward).
     """
     f32 = jnp.float32
     r_s = jnp.asarray(r_s, f32)
@@ -303,8 +404,9 @@ def render_horizon_sky(cam, cfg: RenderConfig, background: Texture, r_s=1.0,
         noise_skip = jnp.zeros(batch, bool)
 
     march_px = ~flat_px & ~noise_skip
-    final_dir, status = march_bh(origin, direction, march_px, r_s, cfg,
-                                 interpret=interpret)
+    march = march_bh_diff if differentiable else march_bh
+    final_dir, status = march(origin, direction, march_px, r_s, cfg,
+                              interpret=interpret, mesh=mesh)
 
     # Flat pixels: one BH-sphere test + bg (frag:874-877).
     d_oc = geo.dot(direction, origin)
@@ -319,7 +421,31 @@ def render_horizon_sky(cam, cfg: RenderConfig, background: Texture, r_s=1.0,
     bg = get_background(background, use_dir)
     black = jnp.array([0.0, 0.0, 0.0, 1.0], f32)
 
-    color = jnp.where(
-        noise_skip[..., None], jnp.zeros((4,), f32),
-        jnp.where(captured[..., None], black, bg))
+    if cfg.horizon_softness > 0.0:
+        # Soft shadow silhouette (identical to render.py:297-329): with an
+        # empty scene every non-skipped pixel is either captured (hard black)
+        # or background, and ALL of them add bg scaled by 1 - sigmoid of the
+        # photon impact parameter vs b_crit = 3*sqrt(3)/2 r_s.
+        s_soft = jnp.float32(cfg.horizon_softness)
+        tangent_vec0 = geo.safe_normalize(
+            geo.cross(geo.cross(normal_vec0, direction), normal_vec0))
+        u0 = 1.0 / geo.length(origin)
+        dt0 = geo.dot(direction, tangent_vec0)
+        dt0 = jnp.where(jnp.abs(dt0) < 1e-20, 1e-20, dt0)
+        du0 = -u0 * geo.dot(direction, normal_vec0) / dt0
+        e0 = du0 * du0 + u0 * u0 * (1.0 - r_s * u0)
+        b_geo = 1.0 / jnp.sqrt(jnp.maximum(e0, 1e-20))
+        b_crit = jnp.float32(1.5 * jnp.sqrt(3.0)) * r_s
+        b_flat = geo.safe_length(geo.cross(origin, direction))
+        alpha_curved = jax.nn.sigmoid((b_crit - b_geo) / s_soft)
+        alpha_flat = jax.nn.sigmoid((r_s - b_flat) / s_soft)
+        alpha_sh = jnp.where(flat_px, alpha_flat, alpha_curved)
+        bg_scale = (1.0 - alpha_sh)[..., None]
+        color = jnp.where(
+            noise_skip[..., None], jnp.zeros((4,), f32),
+            jnp.where(captured[..., None], black, 0.0) + bg * bg_scale)
+    else:
+        color = jnp.where(
+            noise_skip[..., None], jnp.zeros((4,), f32),
+            jnp.where(captured[..., None], black, bg))
     return base + color

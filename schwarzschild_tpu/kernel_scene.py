@@ -20,9 +20,13 @@ section 7, refined):
 Cost: 100 in-kernel validity steps + at most K full jnp intersect/shade
 passes, vs the dense renderer's 100 full passes.
 
-Deviation (documented): a ray crossing more than K non-opaque hits drops the
-extras; K=4 covers every shipped scene (the reference demo has no ray with
-more than 3 translucent crossings).
+Deviation (documented + detected): a ray crossing more than K non-opaque hits
+drops the extras; K=4 covers every shipped scene (the reference demo has no
+ray with more than 3 translucent crossings).  The kernel counts ALL hits
+(``nhits``, uncapped), so ``render_fast`` detects overflow and warns / returns
+the overflowed-ray count (``overflow=`` kwarg) instead of deviating silently.
+Captured rays whose capture slot was dropped still composite opaque black
+(never background) — the shadow cannot leak sky.
 """
 
 from __future__ import annotations
@@ -113,44 +117,36 @@ def _pack_scene_smem(sc: Scene):
     return out
 
 
-def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
-                        max_steps, max_angle, u_f):
-    """refs order: [tables...] + [ox..dz, act] + outputs
-    [fdx,fdy,fdz,fpx,fpy,fpz,status] + per-slot [px,py,pz,dx,dy,dz,len]*K."""
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _rnorm(ax, ay, az):
+    return jax.lax.rsqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-20))
+
+
+def _tangent_of(nx, ny, nz, dx, dy, dz):
+    nd = _dot3(nx, ny, nz, dx, dy, dz)
+    tx = dx - nx * nd
+    ty = dy - ny * nd
+    tz = dz - nz * nd
+    inv = _rnorm(tx, ty, tz)
+    return tx * inv, ty * inv, tz * inv, nd
+
+
+def _init_march_state(ox, oy, oz, dx, dy, dz, marching, n_slots):
+    """Initial orbital-plane state (frag:865, 883-887) as a dict of arrays.
+
+    Shared by the Pallas kernel (on VMEM tiles) and the jnp twin (on full
+    (H, W) planes) — the backward pass rematerializes through the exact same
+    math the kernel ran forward.
+    """
     f32 = jnp.float32
-    r_s = rs_ref[0, 0]
-
-    n_tab = len(table_names)
-    tabs = dict(zip(table_names, refs[:n_tab]))
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref = refs[n_tab:n_tab + 7]
-    outs = refs[n_tab + 7:]
-    fdx_ref, fdy_ref, fdz_ref, fpx_ref, fpy_ref, fpz_ref, st_ref = outs[:7]
-    slot_refs = outs[7:]
-
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    marching = act_ref[:] > 0.5
-
-    def dot3(ax, ay, az, bx, by, bz):
-        return ax * bx + ay * by + az * bz
-
-    def rnorm(ax, ay, az):
-        return jax.lax.rsqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-20))
-
-    inv_len_o = rnorm(ox, oy, oz)
+    inv_len_o = _rnorm(ox, oy, oz)
     nx, ny, nz = ox * inv_len_o, oy * inv_len_o, oz * inv_len_o
-
-    def tangent_of(nx, ny, nz, dx, dy, dz):
-        nd = dot3(nx, ny, nz, dx, dy, dz)
-        tx = dx - nx * nd
-        ty = dy - ny * nd
-        tz = dz - nz * nd
-        inv = rnorm(tx, ty, tz)
-        return tx * inv, ty * inv, tz * inv, nd
-
-    tx, ty, tz, nd0 = tangent_of(nx, ny, nz, dx, dy, dz)
+    tx, ty, tz, nd0 = _tangent_of(nx, ny, nz, dx, dy, dz)
     u = inv_len_o
-    dt0 = dot3(tx, ty, tz, dx, dy, dz)
+    dt0 = _dot3(tx, ty, tz, dx, dy, dz)
     du = -u * nd0 / jnp.where(jnp.abs(dt0) < 1e-20, 1e-20, dt0)
 
     zero = jnp.zeros_like(u)
@@ -165,13 +161,30 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
     for k in range(n_slots):
         for fld in ("sx", "sy", "sz", "sdx", "sdy", "sdz", "slen"):
             state[f"{fld}{k}"] = zero
+    return state
+
+
+def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
+                     u_f):
+    """Build the per-step march function body(i, state) -> state.
+
+    ``tabs`` maps table name -> (N, F) array (SMEM refs inside the kernel,
+    jnp arrays in the twin); all math is identical either way.
+    """
+    f32 = jnp.float32
+
+    dot3 = _dot3
+    rnorm = _rnorm
+    tangent_of = _tangent_of
 
     def sphere_entry(px, py, pz, dx, dy, dz, cx, cy, cz, radius):
         ocx, ocy, ocz = px - cx, py - cy, pz - cz
         d_oc = dot3(dx, dy, dz, ocx, ocy, ocz)
         oc2 = dot3(ocx, ocy, ocz, ocx, ocy, ocz)
         disc = d_oc * d_oc - oc2 + radius * radius
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        # Clamp to a tiny positive (not 0.0): d sqrt at 0 is inf, and the
+        # replay backward would turn miss lanes into 0*inf = NaN cotangents.
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-20))
         lam1 = -d_oc - sq
         lam2 = -d_oc + sq
         lam = jnp.where((lam1 > 0) & (lam2 > 0), jnp.minimum(lam1, lam2),
@@ -250,7 +263,7 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
                 a = lox * ldx + loz * ldz
                 dps = ldx * ldx + ldz * ldz
                 disc = a * a + dps * (radius * radius - (lox * lox + loz * loz))
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                sq = jnp.sqrt(jnp.maximum(disc, 1e-20))  # see sphere_entry
                 dps_s = jnp.where(jnp.abs(dps) < 1e-20, 1e-20, dps)
                 lam1 = -(a + sq) / dps_s
                 lam2 = -(a - sq) / dps_s
@@ -366,7 +379,9 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
             new_state[f"sdy{k}"] = sel(take, sdy, s[f"sdy{k}"])
             new_state[f"sdz{k}"] = sel(take, sdz, s[f"sdz{k}"])
             new_state[f"slen{k}"] = sel(take, seg_len, s[f"slen{k}"])
-        nh = jnp.where(any_hit & (nh < float(n_slots)), nh + 1.0, nh)
+        # Count every hit (uncapped): hits with nh >= n_slots simply match no
+        # slot above, so final nhits > n_slots detects dropped recordings.
+        nh = jnp.where(any_hit, nh + 1.0, nh)
 
         captured = bh_closest
         status = jnp.where(captured, f32(STATUS_CAPTURED), status)
@@ -385,33 +400,66 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
         )
         return new_state
 
-    state = jax.lax.fori_loop(0, max_steps, body, state)
+    return body
 
+
+def _final_outputs(state, n_slots):
+    """Final march state -> flat tuple of component planes (kernel output
+    order): (fdx, fdy, fdz, fpx, fpy, fpz, status, nhits, *slots)."""
+    f32 = jnp.float32
     final_status = jnp.where(state["live"] > 0.5, f32(STATUS_ESCAPED),
                              state["status"])
-    fdx_ref[:] = state["dx"]
-    fdy_ref[:] = state["dy"]
-    fdz_ref[:] = state["dz"]
-    fpx_ref[:] = state["px"]
-    fpy_ref[:] = state["py"]
-    fpz_ref[:] = state["pz"]
-    st_ref[:] = final_status
+    outs = [state["dx"], state["dy"], state["dz"],
+            state["px"], state["py"], state["pz"],
+            final_status, state["nhits"]]
     for k in range(n_slots):
-        base = k * 7
-        slot_refs[base + 0][:] = state[f"sx{k}"]
-        slot_refs[base + 1][:] = state[f"sy{k}"]
-        slot_refs[base + 2][:] = state[f"sz{k}"]
-        slot_refs[base + 3][:] = state[f"sdx{k}"]
-        slot_refs[base + 4][:] = state[f"sdy{k}"]
-        slot_refs[base + 5][:] = state[f"sdz{k}"]
-        slot_refs[base + 6][:] = state[f"slen{k}"]
+        for fld in ("sx", "sy", "sz", "sdx", "sdy", "sdz", "slen"):
+            outs.append(state[f"{fld}{k}"])
+    return tuple(outs)
+
+
+def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
+                        max_steps, max_angle, u_f):
+    """refs order: [tables...] + [ox..dz, act] + outputs
+    [fdx,fdy,fdz,fpx,fpy,fpz,status,nhits] + per-slot
+    [px,py,pz,dx,dy,dz,len]*K."""
+    r_s = rs_ref[0, 0]
+
+    n_tab = len(table_names)
+    tabs = dict(zip(table_names, refs[:n_tab]))
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref = refs[n_tab:n_tab + 7]
+    out_refs = refs[n_tab + 7:]
+
+    state = _init_march_state(ox_ref[:], oy_ref[:], oz_ref[:],
+                              dx_ref[:], dy_ref[:], dz_ref[:],
+                              act_ref[:] > 0.5, n_slots)
+    body = _make_march_body(r_s, tabs, table_rows=table_rows, n_slots=n_slots,
+                            max_steps=max_steps, max_angle=max_angle, u_f=u_f)
+    state = jax.lax.fori_loop(0, max_steps, body, state)
+    for ref, val in zip(out_refs, _final_outputs(state, n_slots)):
+        ref[:] = val
 
 
 def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
                 n_slots: int = 4, block_h: int = 8, block_w: int = 128,
-                interpret: bool = False):
-    """Pallas scene march.  Returns (final_dir, final_pos, status, slots)
-    where slots is a list of K (start (H,W,3), dir (H,W,3), length (H,W))."""
+                interpret: bool = False, mesh=None):
+    """Pallas scene march.  Returns (final_dir, final_pos, status, slots,
+    nhits) where slots is a list of K (start (H,W,3), dir (H,W,3), length
+    (H,W)) and nhits (H,W) counts ALL segment hits along each ray — uncapped,
+    so ``nhits > n_slots`` flags rays whose extra hits were dropped.
+
+    ``mesh``: shard the march over image tiles via shard_map (scene tables
+    and r_s replicated; every device launches the kernel on its local tile).
+    """
+    if mesh is not None:
+        from .sharding import shard_march
+
+        def fn(origin, direction, active, r_s, sc):
+            return march_scene(origin, direction, active, r_s, sc, cfg,
+                               n_slots=n_slots, block_h=block_h,
+                               block_w=block_w, interpret=interpret)
+
+        return shard_march(mesh, fn)(origin, direction, active, r_s, sc)
     H, W = active.shape
     pad_h = (-H) % block_h
     pad_w = (-W) % block_w
@@ -442,7 +490,7 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
         max_angle=float(cfg.max_angle),
         u_f=float(cfg.u_f),
     )
-    n_out = 7 + 7 * n_slots
+    n_out = 8 + 7 * n_slots
     out_shape = [jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * n_out
     outs = pl.pallas_call(
         kernel,
@@ -460,14 +508,116 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
     fdir = jnp.stack([crop(outs[0]), crop(outs[1]), crop(outs[2])], -1)
     fpos = jnp.stack([crop(outs[3]), crop(outs[4]), crop(outs[5])], -1)
     status = crop(outs[6])
+    nhits = crop(outs[7])
     slots = []
     for k in range(n_slots):
-        b = 7 + k * 7
+        b = 8 + k * 7
         start = jnp.stack([crop(outs[b]), crop(outs[b + 1]), crop(outs[b + 2])], -1)
         sdir = jnp.stack([crop(outs[b + 3]), crop(outs[b + 4]), crop(outs[b + 5])], -1)
         slen = crop(outs[b + 6])
         slots.append((start, sdir, slen))
-    return fdir, fpos, status, slots
+    return fdir, fpos, status, slots, nhits
+
+
+def march_scene_jnp(origin, direction, active, r_s, sc: Scene,
+                    cfg: RenderConfig, n_slots: int = 4,
+                    checkpoint_every: Optional[int] = None):
+    """Dense-jnp twin of the Pallas scene march — IDENTICAL math, identical
+    outputs (validity-only intersections, no shading/texturing).
+
+    Two jobs:
+      * correctness oracle for the kernel (tests compare them bit-for-bit in
+        interpret mode);
+      * the rematerialized BACKWARD pass of :func:`march_scene_diff`: per RK4
+        step this runs ~10x fewer ops than the full ``render.py`` twin (whose
+        per-step intersect+shade dominates), so ``jax.vjp`` of this function
+        is the kernel-speed gradient path (VERDICT round 1 item 2).
+
+    ``checkpoint_every`` chunks the scan under ``jax.checkpoint`` (defaults
+    to ``cfg.checkpoint_every``) bounding residual memory to
+    O(state x steps/K + state x K).
+    """
+    f32 = jnp.float32
+    tables = _pack_scene_smem(sc)
+    table_names = tuple(sorted(tables))
+    table_rows = {k: int(tables[k].shape[0]) for k in table_names}
+
+    state = _init_march_state(
+        origin[..., 0], origin[..., 1], origin[..., 2],
+        direction[..., 0], direction[..., 1], direction[..., 2],
+        active, n_slots)
+    body = _make_march_body(
+        jnp.asarray(r_s, f32), tables, table_rows=table_rows, n_slots=n_slots,
+        max_steps=cfg.max_steps, max_angle=float(cfg.max_angle),
+        u_f=float(cfg.u_f))
+
+    steps = jnp.arange(cfg.max_steps, dtype=jnp.int32)
+
+    def step_fn(s, i):
+        return body(i, s), None
+
+    ck = cfg.checkpoint_every if checkpoint_every is None else checkpoint_every
+    if ck and ck < cfg.max_steps:
+        if cfg.max_steps % ck:
+            raise ValueError(
+                f"checkpoint_every={ck} must divide max_steps={cfg.max_steps}")
+
+        def chunk_fn(s, idx):
+            out, _ = jax.lax.scan(step_fn, s, idx)
+            return out, None
+
+        state, _ = jax.lax.scan(jax.checkpoint(chunk_fn), state,
+                                steps.reshape(-1, ck))
+    else:
+        state, _ = jax.lax.scan(step_fn, state, steps)
+
+    outs = _final_outputs(state, n_slots)
+    fdir = jnp.stack(outs[0:3], -1)
+    fpos = jnp.stack(outs[3:6], -1)
+    status, nhits = outs[6], outs[7]
+    slots = []
+    for k in range(n_slots):
+        b = 8 + k * 7
+        slots.append((jnp.stack(outs[b:b + 3], -1),
+                      jnp.stack(outs[b + 3:b + 6], -1), outs[b + 6]))
+    return fdir, fpos, status, slots, nhits
+
+
+def march_scene_diff(origin, direction, active, r_s, sc: Scene,
+                     cfg: RenderConfig, n_slots: int = 4,
+                     interpret: bool = False, mesh=None):
+    """Differentiable scene march: Pallas kernel FORWARD, checkpointed
+    validity-march replay BACKWARD.
+
+    Gradients flow to (origin, direction, r_s) — at fixed discrete decisions
+    (which object, capture-vs-escape; SURVEY section 7 'gradients through
+    discrete events').  The scene's own geometry gradient through the march
+    is exactly zero at fixed decisions (the march state never reads scene
+    values outside comparisons), so ``sc`` rides as a closure constant —
+    scene/texture gradients flow through the slot re-intersection in
+    :func:`render_fast` instead.
+    """
+
+    @jax.custom_vjp
+    def f(origin, direction, r_s):
+        return march_scene(origin, direction, active, r_s, sc, cfg,
+                           n_slots=n_slots, interpret=interpret, mesh=mesh)
+
+    def fwd(origin, direction, r_s):
+        return f(origin, direction, r_s), (origin, direction, r_s)
+
+    def bwd(residuals, cotangent):
+        origin, direction, r_s = residuals
+
+        def g(origin, direction, r_s):
+            return march_scene_jnp(origin, direction, active, r_s, sc, cfg,
+                                   n_slots=n_slots)
+
+        _, vjp = jax.vjp(g, origin, direction, jnp.asarray(r_s, jnp.float32))
+        return vjp(cotangent)
+
+    f.defvjp(fwd, bwd)
+    return f(origin, direction, jnp.asarray(r_s, jnp.float32))
 
 
 def render_fast(
@@ -479,12 +629,29 @@ def render_fast(
     r_s=1.0,
     n_slots: int = 4,
     interpret: bool = False,
+    overflow: str = "warn",
+    mesh=None,
+    differentiable: bool = False,
 ) -> jnp.ndarray:
     """Full-featured fast renderer: Pallas march + K-slot jnp shading.
 
-    Matches render() for scenes without test rays (tested in
-    tests/test_kernel_scene.py); fall back to render() for test-ray overlays
-    and horizon_softness.
+    Matches render() — including split-screen modes, noise masks, crosshair
+    and the horizon_softness soft silhouette (tested in
+    tests/test_kernel_scene.py); fall back to render() only for test-ray
+    overlays (the debug tubes are not tested inside the kernel).
+
+    ``overflow`` controls slot-overflow detection (rays crossing more than
+    ``n_slots`` translucent hits drop the extras — the documented deviation):
+      * "warn": jax.debug.print when any ray overflowed (default);
+      * "return": return (image, n_overflowed) so callers can re-render with
+        more slots;
+      * "ignore": the round-1 silent behavior.
+
+    ``differentiable=True`` routes the march through
+    :func:`march_scene_diff`, making the whole renderer reverse-mode
+    differentiable at kernel forward speed (backward = checkpointed
+    validity-march replay + the K slot shading passes, NOT the dense
+    100-intersect/shade twin).
     """
     f32 = jnp.float32
     r_s = jnp.asarray(r_s, f32)
@@ -526,41 +693,55 @@ def render_fast(
     march_px = ~flat_px & ~noise_skip
 
     if cfg.raytrace_type != cam_mod.FLAT:
-        fdir, fpos, status, slots = march_scene(
+        march = march_scene_diff if differentiable else march_scene
+        fdir, fpos, status, slots, nhits = march(
             origin, direction, march_px, r_s, sc, cfg, n_slots=n_slots,
-            interpret=interpret)
+            interpret=interpret, mesh=mesh)
     else:
         fdir, fpos = direction, origin
         status = jnp.full(batch, STATUS_ESCAPED, f32)
         slots = []
+        nhits = jnp.zeros(batch, f32)
 
     # Slot shading: re-intersect each recorded segment with the full jnp
     # machinery and compose additively with the first-opaque cutoff.
+    from .scene import OBJECT_TYPE_SPECIAL
+
     color = jnp.zeros(batch + (4,), f32)
     open_ = march_px  # still accumulating (no opaque hit yet)
+    captured_shaded = jnp.zeros(batch, bool)  # first opaque hit was the BH
     for start, sdir, slen in slots:
         rec = slen > 0.0
 
         def slot_pass(ops):
             start, sdir, slen, rec = ops
+            # Unrecorded lanes carry zero vectors; their results are masked
+            # out by ``rec`` below, but a zero direction sends NaNs through
+            # the BACKWARD pass of intersect/shade (0*inf through the where),
+            # so substitute a harmless unit ray first.
+            safe_dir = jnp.where(rec[..., None], sdir,
+                                 jnp.array([1.0, 0.0, 0.0], f32))
             # Inflate the window slightly: the kernel's f32 lambda and the
             # jnp recomputation differ by ~1 ulp, and a recorded hit must not
             # fall off the end of its own segment.
-            window = jnp.where(rec, slen * 1.0001 + 1e-5, -1.0)
-            hit = intersect_scene(start, sdir, window, sc, r_s)
-            rgba = shade(hit, -sdir, sc, tex)
-            return rgba, hit.valid
+            window = jnp.where(rec, slen * 1.0001 + 1e-5, 1.0)
+            hit = intersect_scene(start, safe_dir, window, sc, r_s)
+            rgba = shade(hit, -safe_dir, sc, tex)
+            return rgba, hit.valid, hit.obj_type == OBJECT_TYPE_SPECIAL
 
         def empty_pass(ops):
-            return (jnp.zeros(batch + (4,), f32), jnp.zeros(batch, bool))
+            return (jnp.zeros(batch + (4,), f32), jnp.zeros(batch, bool),
+                    jnp.zeros(batch, bool))
 
         # Runtime-skip slots nobody filled (typically slots 2+): lax.cond
         # executes one branch only under jit.
-        rgba, hvalid = jax.lax.cond(jnp.any(rec), slot_pass, empty_pass,
-                                    (start, sdir, slen, rec))
+        rgba, hvalid, is_bh = jax.lax.cond(jnp.any(rec), slot_pass, empty_pass,
+                                           (start, sdir, slen, rec))
         take = rec & open_ & hvalid
+        opaque_take = take & (rgba[..., 3] == 1.0)
         color = color + jnp.where(take[..., None], rgba, 0.0)
-        open_ = open_ & ~(take & (rgba[..., 3] == 1.0))
+        captured_shaded = captured_shaded | (opaque_take & is_bh)
+        open_ = open_ & ~opaque_take
 
     # Flat pixels + far-field flat finishers: one unbounded intersect.
     # The kernel marches on past opaque hits (it cannot evaluate opacity), so
@@ -576,9 +757,59 @@ def render_fast(
     flat_needs_bg = flat_mask & (jnp.where(flat_take, flat_rgba[..., 3], 0.0) != 1.0)
 
     # Background: march rays that never found an opaque hit (escaped,
-    # exhausted — not captured: capture IS an opaque slot) + flat non-opaque.
-    march_bg = march_px & open_ & (status != STATUS_FLAT_FINISH)
+    # exhausted — not captured: capture is opaque black even when its slot was
+    # dropped by overflow, so excluding STATUS_CAPTURED here keeps the shadow
+    # opaque instead of leaking sky through it).
+    march_bg = (march_px & open_ & (status != STATUS_FLAT_FINISH)
+                & (status != STATUS_CAPTURED))
     bg = get_background(background, use_dir)
-    color = color + jnp.where((march_bg | flat_needs_bg)[..., None], bg, 0.0)
 
-    return base + color
+    if cfg.horizon_softness > 0.0:
+        # Soft shadow silhouette (identical to render.py:297-329): every
+        # background contribution is scaled by 1 - sigmoid of the photon's
+        # conserved impact parameter against b_crit = 3*sqrt(3)/2 r_s, and
+        # captured rays add the scaled background on top of their hard black.
+        s_soft = jnp.float32(cfg.horizon_softness)
+        tangent_vec0 = geo.safe_normalize(
+            geo.cross(geo.cross(normal_vec0, direction), normal_vec0))
+        u0 = 1.0 / geo.length(origin)
+        dt0 = geo.dot(direction, tangent_vec0)
+        dt0 = jnp.where(jnp.abs(dt0) < 1e-20, 1e-20, dt0)
+        du0 = -u0 * geo.dot(direction, normal_vec0) / dt0
+        e0 = du0 * du0 + u0 * u0 * (1.0 - r_s * u0)
+        b_geo = 1.0 / jnp.sqrt(jnp.maximum(e0, 1e-20))
+        b_crit = jnp.float32(1.5 * jnp.sqrt(3.0)) * r_s
+        b_flat = geo.safe_length(geo.cross(use_pos, use_dir))
+        alpha_curved = jax.nn.sigmoid((b_crit - b_geo) / s_soft)
+        alpha_flat = jax.nn.sigmoid((r_s - b_flat) / s_soft)
+        alpha_sh = jnp.where(flat_mask, alpha_flat, alpha_curved)
+        bg_scale = (1.0 - alpha_sh)[..., None]
+
+        flat_captured = (flat_hit.valid & flat_mask
+                         & (flat_hit.obj_type == OBJECT_TYPE_SPECIAL)
+                         & (flat_rgba[..., 3] == 1.0))
+        # Dropped capture slots (overflow) leave open_ true with status
+        # CAPTURED — they still count as captured here.
+        captured_m = (captured_shaded | flat_captured
+                      | ((status == STATUS_CAPTURED) & open_))
+        bg_mask = march_bg | flat_needs_bg | captured_m
+        color = color + jnp.where(bg_mask[..., None], bg * bg_scale, 0.0)
+    else:
+        color = color + jnp.where((march_bg | flat_needs_bg)[..., None], bg,
+                                  0.0)
+
+    img = base + color
+    if overflow == "ignore":
+        return img
+    n_over = jnp.sum((nhits > float(n_slots)).astype(jnp.int32))
+    if overflow == "return":
+        return img, n_over
+    if overflow == "warn":
+        def _warn(n):
+            jax.debug.print(
+                "render_fast: {n} rays exceeded n_slots={k} recording slots "
+                "(extra translucent hits dropped; raise n_slots)",
+                n=n, k=n_slots)
+        jax.lax.cond(n_over > 0, _warn, lambda n: None, n_over)
+        return img
+    raise ValueError(f"unknown overflow mode {overflow!r}")

@@ -100,6 +100,10 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         float(inverse._softplus(p_res.r_s_raw)),
         float(inverse._softplus(p_full.r_s_raw)), rtol=1e-5)
+    # The history survives the resume: full 10-step record, matching the
+    # straight-through run (pre-resume steps ride inside the checkpoint).
+    assert len(h_res) == len(h_full) == 10
+    np.testing.assert_allclose(h_res, h_full, rtol=1e-5)
 
 
 def test_camera_pose_orthonormalized():

@@ -60,6 +60,94 @@ def test_mass_parameter_parity():
            r_s=0.7)
 
 
+def test_march_twin_matches_kernel():
+    """march_scene_jnp (the backward-pass replay) reproduces the kernel's
+    outputs — same math, so near-bit-equal in interpret mode."""
+    from schwarzschild_tpu import camera as cam_mod
+    from schwarzschild_tpu.kernel_scene import march_scene_jnp
+
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    cfg = st.RenderConfig(width=32, height=24, percent_black=-1.0)
+    u_ndc, v_ndc = cam_mod.pixel_grid(cfg.width, cfg.height)
+    origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc,
+                                              cfg.width, cfg.height)
+    active = np.ones((cfg.height, cfg.width), bool)
+
+    k = march_scene(origin, direction, active, 1.0, sc, cfg, interpret=True)
+    t = march_scene_jnp(origin, direction, active, 1.0, sc, cfg)
+
+    def frac_close(a, b, name, tol=1e-4, frac=0.995):
+        # Compiler fusion (FMA contraction) differs between the interpret-mode
+        # kernel and the scanned twin, so decision-boundary lanes (a capture
+        # flipping to an escape) can diverge — require near-total agreement,
+        # not bit equality.
+        a, b = np.asarray(a), np.asarray(b)
+        ok = (np.abs(a - b) < tol * (1.0 + np.abs(b)))
+        while ok.ndim > 2:
+            ok = ok.all(-1)
+        assert ok.mean() > frac, \
+            f"{name}: only {ok.mean():.4f} lanes within {tol}"
+
+    frac_close(k[0], t[0], "fdir")
+    frac_close(k[1], t[1], "fpos", tol=1e-2)
+    frac_close(k[2], t[2], "status")
+    frac_close(k[4], t[4], "nhits")
+    for i, ((s0, d0, l0), (s1, d1, l1)) in enumerate(zip(k[3], t[3])):
+        frac_close(s0, s1, f"slot{i}.start", tol=1e-2)
+        frac_close(d0, d1, f"slot{i}.dir")
+        frac_close(l0, l1, f"slot{i}.len", tol=1e-2)
+
+
+def test_fast_backward_matches_twin_gradients():
+    """Gradients of the kernel-forward/replay-backward renderer match the
+    dense jnp twin's gradients (VERDICT round 1 item 2)."""
+    import jax.numpy as jnp
+
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    cfg = st.RenderConfig(width=32, height=24, percent_black=-1.0,
+                          checkpoint_every=10)
+    w = np.random.RandomState(0).rand(24, 32, 4).astype(np.float32)
+
+    def loss_fast(r_s, pos):
+        c = cam._replace(pos=pos)
+        img = render_fast(sc, c, cfg, bg, tex, r_s, interpret=True,
+                          overflow="ignore", differentiable=True)
+        return jnp.sum(img * w)
+
+    def loss_twin(r_s, pos):
+        c = cam._replace(pos=pos)
+        return jnp.sum(st.render(sc, c, cfg, bg, tex, r_s) * w)
+
+    g_fast = jax.grad(loss_fast, argnums=(0, 1))(
+        jnp.float32(1.0), jnp.asarray(cam.pos))
+    g_twin = jax.grad(loss_twin, argnums=(0, 1))(
+        jnp.float32(1.0), jnp.asarray(cam.pos))
+    np.testing.assert_allclose(float(g_fast[0]), float(g_twin[0]),
+                               rtol=2e-2, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_fast[1]), np.asarray(g_twin[1]),
+                               rtol=2e-2, atol=1e-3)
+
+
+def test_horizon_softness_parity():
+    """The soft-silhouette composition in the fast path matches render()."""
+    _check(configs.demo_scene(), configs.demo_camera(),
+           st.RenderConfig(width=32, height=32, percent_black=-1.0,
+                           horizon_softness=0.15),
+           configs.background_texture(), configs.demo_texture_stack())
+
+
+def test_horizon_softness_split_parity():
+    _check(configs.demo_scene(), configs.demo_camera(),
+           st.RenderConfig(width=32, height=32, percent_black=-1.0,
+                           horizon_softness=0.1,
+                           raytrace_type=st.HALF_WIDTH),
+           configs.background_texture(), configs.demo_texture_stack())
+
+
 def test_slot_overflow_documented_deviation():
     """A ray crossing > n_slots translucent hits drops extras; with enough
     slots the image is exact — verify slots=6 changes nothing vs slots=4 on
@@ -74,3 +162,52 @@ def test_slot_overflow_documented_deviation():
     b = np.asarray(render_fast(sc, cam, cfg, bg, tex, 1.0, n_slots=6,
                                interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_slot_overflow_detected():
+    """With n_slots=1 the demo scene overflows (rays cross >1 translucent
+    hit); overflow='return' reports the count, and with ample slots it is 0."""
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    cfg = st.RenderConfig(width=32, height=24, percent_black=-1.0)
+    _, n1 = render_fast(sc, cam, cfg, bg, tex, 1.0, n_slots=1,
+                        interpret=True, overflow="return")
+    _, n6 = render_fast(sc, cam, cfg, bg, tex, 1.0, n_slots=6,
+                        interpret=True, overflow="return")
+    assert int(n1) > 0
+    assert int(n6) == 0
+
+
+def test_overflow_capture_stays_black():
+    """A captured ray whose capture slot is dropped must composite black, not
+    background (ADVICE round 1): with n_slots=0... the smallest legal slot
+    count is 1, so force overflow with n_slots=1 and check shadow pixels
+    (captured status) never take background color."""
+    from schwarzschild_tpu.kernel_scene import STATUS_CAPTURED, march_scene
+    from schwarzschild_tpu import camera as cam_mod
+
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    cfg = st.RenderConfig(width=32, height=24, percent_black=-1.0)
+
+    # Reference image with ample slots (exact).
+    ref = np.asarray(render_fast(sc, cam, cfg, bg, tex, 1.0, n_slots=6,
+                                 interpret=True, overflow="ignore"))
+    img = np.asarray(render_fast(sc, cam, cfg, bg, tex, 1.0, n_slots=1,
+                                 interpret=True, overflow="ignore"))
+
+    u_ndc, v_ndc = cam_mod.pixel_grid(cfg.width, cfg.height)
+    origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc,
+                                              cfg.width, cfg.height)
+    active = np.ones((cfg.height, cfg.width), bool)
+    _, _, status, _, _ = march_scene(origin, direction, active, 1.0, sc, cfg,
+                                     n_slots=1, interpret=True)
+    cap = np.asarray(status) == STATUS_CAPTURED
+    assert cap.any()
+    # Captured pixels in the overflowing render match the exact render (the
+    # shadow is black either way — dropped capture slots change nothing).
+    np.testing.assert_allclose(img[cap], ref[cap], atol=1e-6)

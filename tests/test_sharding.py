@@ -76,6 +76,54 @@ def test_sharded_gradient_psum():
     assert np.isclose(g_single, g_sharded, rtol=1e-3, atol=1e-6)
 
 
+def test_sharded_fast_path_matches_single_device():
+    """The Pallas fast path under shard_map (interpret mode on the CPU mesh)
+    bit-equals the single-device fast render (VERDICT round 1 item 1)."""
+    from schwarzschild_tpu.kernel_scene import render_fast
+
+    sc, cam, bg, tex = _setup()
+    single = np.asarray(render_fast(sc, cam, CFG, bg, tex, 1.0,
+                                    interpret=True, overflow="ignore"))
+
+    mesh = make_mesh(shape=(8, 1))
+    img = make_sharded_render(mesh, CFG, renderer="fast",
+                              interpret=True)(sc, cam, bg, tex)
+    assert len(img.sharding.device_set) == 8
+    np.testing.assert_array_equal(gather_image(img), single)
+
+
+def test_sharded_fast_path_2d_mesh():
+    from schwarzschild_tpu.kernel_scene import render_fast
+
+    sc, cam, bg, tex = _setup()
+    single = np.asarray(render_fast(sc, cam, CFG, bg, tex, 1.0,
+                                    interpret=True, overflow="ignore"))
+    mesh = make_mesh(shape=(2, 4))
+    img = make_sharded_render(mesh, CFG, renderer="fast",
+                              interpret=True)(sc, cam, bg, tex)
+    np.testing.assert_array_equal(gather_image(img), single)
+
+
+def test_sharded_march_bh_matches():
+    """march_bh under shard_map bit-equals the single-device kernel."""
+    from schwarzschild_tpu import camera as cam_mod
+    from schwarzschild_tpu.kernel import march_bh
+
+    _, cam, _, _ = _setup()
+    cfg = st.RenderConfig(width=32, height=32, percent_black=-1.0)
+    u_ndc, v_ndc = cam_mod.pixel_grid(cfg.width, cfg.height)
+    origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc,
+                                              cfg.width, cfg.height)
+    active = np.ones((cfg.height, cfg.width), bool)
+
+    fd0, st0 = march_bh(origin, direction, active, 1.0, cfg, interpret=True)
+    mesh = make_mesh(shape=(8, 1))
+    fd1, st1 = march_bh(origin, direction, active, 1.0, cfg, interpret=True,
+                        mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(fd0), np.asarray(fd1))
+    np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
+
+
 def test_mesh_divisibility_validation():
     mesh = make_mesh(shape=(8, 1))
     bad = st.RenderConfig(width=32, height=30)
