@@ -39,11 +39,14 @@ from .shading import get_background, shade
 from .textures import (
     Texture,
     TextureStack,
+    build_mips,
     from_array,
     load_texture,
     load_texture_array,
     solid_color_texture,
     stack_textures,
+    stack_with_mips,
+    with_mips,
 )
 
 __version__ = "0.1.0"

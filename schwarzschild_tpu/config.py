@@ -45,6 +45,15 @@ class RenderConfig:
     # no silhouette gradient at all (SURVEY section 7 "gradients through
     # discrete events").
     horizon_softness: float = 0.0
+    # Texture minification: "bilinear" = level-0 GL_LINEAR, which is the
+    # reference's ACTUAL behavior (its min filter is GL_LINEAR for both the
+    # background and the array, image_utils.cpp:17,113 — the glGenerateMipmap
+    # at cpp:31 is dead code under a non-mipmap min filter), and the oracle
+    # parity target.  "trilinear" = opt-in mip-pyramid sampling with
+    # screen-space-derivative LOD (textures need .mips built via
+    # textures.with_mips / stack_with_mips; renderers build them on the fly
+    # when absent) — removes minification shimmer the reference exhibits.
+    texture_filter: str = "bilinear"
     # Number of slots in the fixed-size test-ray points buffer (frag:182 says
     # MAX_POINTS 1000 but the CPU integrator emits at most max_steps+1 points,
     # main.cpp:108-123).

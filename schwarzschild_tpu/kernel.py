@@ -367,6 +367,11 @@ def render_horizon_sky(cam, cfg: RenderConfig, background: Texture, r_s=1.0,
     f32 = jnp.float32
     r_s = jnp.asarray(r_s, f32)
     H, W = cfg.height, cfg.width
+    trilinear = cfg.texture_filter == "trilinear"
+    if trilinear and not background.mips:
+        from .textures import build_mips
+
+        background = background._replace(mips=build_mips(background.data))
 
     u_ndc, v_ndc = cam_mod.pixel_grid(W, H)
     origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc, W, H)
@@ -418,7 +423,7 @@ def render_horizon_sky(cam, cfg: RenderConfig, background: Texture, r_s=1.0,
 
     captured = jnp.where(flat_px, flat_bh, status == STATUS_CAPTURED)
     use_dir = jnp.where(flat_px[..., None], direction, final_dir)
-    bg = get_background(background, use_dir)
+    bg = get_background(background, use_dir, trilinear=trilinear)
     black = jnp.array([0.0, 0.0, 0.0, 1.0], f32)
 
     if cfg.horizon_softness > 0.0:

@@ -656,6 +656,16 @@ def render_fast(
     f32 = jnp.float32
     r_s = jnp.asarray(r_s, f32)
     H, W = cfg.height, cfg.width
+    trilinear = cfg.texture_filter == "trilinear"
+    if cfg.texture_filter not in ("bilinear", "trilinear"):
+        raise ValueError(f"unknown texture_filter {cfg.texture_filter!r}")
+    if trilinear:
+        from .textures import build_mips
+
+        if not background.mips:
+            background = background._replace(mips=build_mips(background.data))
+        if tex is not None and not tex.mips:
+            tex = tex._replace(mips=build_mips(tex.data))
 
     u_ndc, v_ndc = cam_mod.pixel_grid(W, H)
     origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc, W, H)
@@ -726,7 +736,7 @@ def render_fast(
             # fall off the end of its own segment.
             window = jnp.where(rec, slen * 1.0001 + 1e-5, 1.0)
             hit = intersect_scene(start, safe_dir, window, sc, r_s)
-            rgba = shade(hit, -safe_dir, sc, tex)
+            rgba = shade(hit, -safe_dir, sc, tex, trilinear=trilinear)
             return rgba, hit.valid, hit.obj_type == OBJECT_TYPE_SPECIAL
 
         def empty_pass(ops):
@@ -751,7 +761,7 @@ def render_fast(
     use_dir = jnp.where(flat_px[..., None], direction, fdir)
     flat_hit = intersect_scene(use_pos, use_dir, jnp.full(batch, -1.0, f32),
                                sc, r_s)
-    flat_rgba = shade(flat_hit, -use_dir, sc, tex)
+    flat_rgba = shade(flat_hit, -use_dir, sc, tex, trilinear=trilinear)
     flat_take = flat_mask & flat_hit.valid
     color = color + jnp.where(flat_take[..., None], flat_rgba, 0.0)
     flat_needs_bg = flat_mask & (jnp.where(flat_take, flat_rgba[..., 3], 0.0) != 1.0)
@@ -762,7 +772,7 @@ def render_fast(
     # opaque instead of leaking sky through it).
     march_bg = (march_px & open_ & (status != STATUS_FLAT_FINISH)
                 & (status != STATUS_CAPTURED))
-    bg = get_background(background, use_dir)
+    bg = get_background(background, use_dir, trilinear=trilinear)
 
     if cfg.horizon_softness > 0.0:
         # Soft shadow silhouette (identical to render.py:297-329): every

@@ -159,7 +159,8 @@ def _march_step(
 
     # --- segment intersection + shading (frag:930-932) ---
     hit = intersect_scene(state.pos, new_dir, seg_len, sc, r_s, test_ray)
-    rgba = shade(hit, -new_dir, sc, tex)
+    rgba = shade(hit, -new_dir, sc, tex,
+                 trilinear=cfg.texture_filter == "trilinear")
     seg_color = jnp.where((hit.valid & active)[..., None], rgba,
                           jnp.zeros_like(rgba))
     color = state.color + seg_color
@@ -209,6 +210,16 @@ def render(
     f32 = jnp.float32
     r_s = jnp.asarray(r_s, f32)
     H, W = cfg.height, cfg.width
+
+    if cfg.texture_filter not in ("bilinear", "trilinear"):
+        raise ValueError(f"unknown texture_filter {cfg.texture_filter!r}")
+    if cfg.texture_filter == "trilinear":
+        from .textures import build_mips
+
+        if not background.mips:
+            background = background._replace(mips=build_mips(background.data))
+        if tex is not None and not tex.mips:
+            tex = tex._replace(mips=build_mips(tex.data))
 
     u_ndc, v_ndc = cam_mod.pixel_grid(W, H)
     origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc, W, H)
@@ -287,12 +298,14 @@ def render(
     flat_hit = intersect_scene(
         state.pos, state.direction, jnp.full(batch, -1.0, f32), sc, r_s, test_ray
     )
-    flat_rgba = shade(flat_hit, -state.direction, sc, tex)
+    flat_rgba = shade(flat_hit, -state.direction, sc, tex,
+                      trilinear=cfg.texture_filter == "trilinear")
     flat_color = jnp.where((flat_hit.valid & do_flat)[..., None], flat_rgba,
                            jnp.zeros(batch + (4,), f32))
     flat_needs_bg = do_flat & (flat_color[..., 3] != 1.0)
 
-    bg = get_background(background, state.direction)
+    bg = get_background(background, state.direction,
+                        trilinear=cfg.texture_filter == "trilinear")
 
     if cfg.horizon_softness > 0.0:
         # Soft shadow silhouette for inverse rendering: the binary

@@ -19,7 +19,15 @@ from .scene import (
     OBJECT_TYPE_TEST_RAY_FLAT,
     Scene,
 )
-from .textures import Texture, TextureStack, sample_stack, sample_texture
+from .textures import (
+    Texture,
+    TextureStack,
+    sample_stack,
+    sample_stack_trilinear,
+    sample_texture,
+    sample_texture_trilinear,
+    screen_space_lod,
+)
 
 TEST_RAY_CURVED_COLOR = (1.0, 0.0, 0.0, 1.0)  # frag:191
 TEST_RAY_FLAT_COLOR = (0.0, 1.0, 0.0, 1.0)  # frag:192
@@ -34,11 +42,17 @@ def shade(
     view_dir,
     sc: Scene,
     tex: Optional[TextureStack] = None,
+    trilinear: bool = False,
 ) -> jnp.ndarray:
     """Lighting for a batch of hits; returns RGBA (..., 4).
 
     ``view_dir`` points from the surface towards the camera (-ray.dir,
     frag:818).  Result is only meaningful where ``hit.valid``; callers mask.
+
+    ``trilinear``: LOD-aware texture minification (requires ``tex.mips`` and
+    an (H, W) image-grid batch for the screen-space derivatives).  False =
+    level-0 bilinear, the reference's actual behavior (its GL_LINEAR min
+    filter never samples mips — image_utils.cpp:17,113).
     """
     m = sc.materials
     mi = jnp.clip(hit.mat_idx, 0, m.color.shape[0] - 1)
@@ -93,7 +107,24 @@ def shade(
         render_color = jnp.where(is_plane, hit.plane_repeat | in_window, True)
         sample_uv = jnp.where(is_plane[..., None], plane_tiled, rescaled_uv)
 
-        sampled = sample_stack(tex, texture_index, sample_uv[..., 0], sample_uv[..., 1])
+        use_mips = trilinear and len(tex.mips) > 0
+        if use_mips:
+            # Implicit-LOD analog: derivatives of the CONTINUOUS (pre-mod)
+            # texel coordinates over the image grid, restricted to
+            # same-object neighbors (the GL quad-helper-lane analog).
+            cont_uv = jnp.where(
+                is_plane[..., None],
+                plane_uv_src / jnp.maximum(hit.plane_tex_size, 1e-20),
+                rescaled_uv)
+            same_key = hit.obj_type * 65536 + mi
+            lod = screen_space_lod(cont_uv[..., 0] * tex.max_size[0],
+                                   cont_uv[..., 1] * tex.max_size[1],
+                                   valid=hit.valid, key=same_key)
+            sampled = sample_stack_trilinear(
+                tex, texture_index, sample_uv[..., 0], sample_uv[..., 1], lod)
+        else:
+            sampled = sample_stack(tex, texture_index, sample_uv[..., 0],
+                                   sample_uv[..., 1])
         use_tex = (texture_index >= 0) & render_color
         base_color = jnp.where(use_tex[..., None], sampled, color)
 
@@ -103,7 +134,17 @@ def shade(
             tex.sizes, jnp.clip(normal_map_index, 0, tex.sizes.shape[0] - 1)
         )
         nm_uv = uv * nm_sizes / tex.max_size
-        nm_rgb = sample_stack(tex, normal_map_index, nm_uv[..., 0], nm_uv[..., 1])[..., :3]
+        if use_mips:
+            nm_lod = screen_space_lod(nm_uv[..., 0] * tex.max_size[0],
+                                      nm_uv[..., 1] * tex.max_size[1],
+                                      valid=hit.valid,
+                                      key=hit.obj_type * 65536 + mi)
+            nm_rgb = sample_stack_trilinear(
+                tex, normal_map_index, nm_uv[..., 0], nm_uv[..., 1],
+                nm_lod)[..., :3]
+        else:
+            nm_rgb = sample_stack(tex, normal_map_index, nm_uv[..., 0],
+                                  nm_uv[..., 1])[..., :3]
         ts_normal = (
             nm_rgb[..., 0:1] * hit.tangent
             + nm_rgb[..., 1:2] * hit.bitangent
@@ -166,12 +207,19 @@ def shade(
     return out
 
 
-def get_background(bg: Texture, direction) -> jnp.ndarray:
-    """Equirectangular sky sample of a unit direction (frag:829-837)."""
+def get_background(bg: Texture, direction, trilinear: bool = False) -> jnp.ndarray:
+    """Equirectangular sky sample of a unit direction (frag:829-837).
+
+    ``trilinear``: LOD-aware minification over the image grid (opt-in,
+    beyond-reference — see shade())."""
     u = jnp.arctan2(direction[..., 2], direction[..., 0]) / jnp.pi
     u = jnp.where(u < 0.0, u + 2.0, u) * 0.5
     # 1e-7 clip margin keeps asin' finite for exactly-polar directions.
     v = jnp.arcsin(jnp.clip(direction[..., 1], -1.0 + 1e-7, 1.0 - 1e-7)) / jnp.pi + 0.5
+    if trilinear and len(bg.mips) > 0:
+        h, w = bg.data.shape[-3], bg.data.shape[-2]
+        lod = screen_space_lod(u * w, v * h)
+        return sample_texture_trilinear(bg, u, v, lod)
     return sample_texture(bg, u, v)
 
 

@@ -30,19 +30,29 @@ import jax.numpy as jnp
 
 class Texture(NamedTuple):
     """A single 2D RGBA texture: data (H, W, 4) float32 in [0, 1],
-    row 0 = bottom (GL convention after the load-time flip)."""
+    row 0 = bottom (GL convention after the load-time flip).
+
+    ``mips``: optional tuple of downsampled levels (level 1 = half res, ...)
+    for trilinear minification — see :func:`build_mips`.  Empty = bilinear
+    level-0 only, which is EXACT reference parity: the reference's min filter
+    is GL_LINEAR for both the background (image_utils.cpp:17) and the texture
+    array (cpp:113), so its glGenerateMipmap call (cpp:31) is dead — GL never
+    samples mip levels under a non-mipmap min filter.  Trilinear here is an
+    opt-in quality improvement beyond the reference."""
 
     data: jnp.ndarray
+    mips: tuple = ()
 
 
 class TextureStack(NamedTuple):
     """Padded texture array + per-texture true sizes
     (the ``sampler2DArray`` + ``texture_sizes[]`` + ``max_texture_size``
-    uniforms, black_hole.frag:67-70)."""
+    uniforms, black_hole.frag:67-70).  ``mips`` as in :class:`Texture`."""
 
     data: jnp.ndarray  # (T, Hmax, Wmax, 4) float32
     sizes: jnp.ndarray  # (T, 2) float32 — (width, height)
     max_size: jnp.ndarray  # (2,) float32 — (Wmax, Hmax)
+    mips: tuple = ()
 
 
 def load_image(path) -> np.ndarray:
@@ -171,3 +181,159 @@ def solid_color_texture(rgba, size=4) -> Texture:
     """Tiny constant texture — handy for tests."""
     rgba = np.asarray(rgba, np.float32)
     return Texture(data=jnp.broadcast_to(jnp.asarray(rgba), (size, size, 4)))
+
+
+# ---------------------------------------------------------------------------
+# Mipmaps (opt-in, beyond-reference — see the Texture docstring for why the
+# reference never actually samples its mipmaps).
+# ---------------------------------------------------------------------------
+
+
+def downsample2(data):
+    """One mip step: 2x2 box filter with floor halving (odd trailing
+    row/column dropped, like GL's floor(size/2) level sizing).  Works on
+    (..., H, W, 4); differentiable w.r.t. ``data``."""
+    h, w = data.shape[-3], data.shape[-2]
+    h2, w2 = max(h // 2, 1), max(w // 2, 1)
+    d = data[..., : h2 * 2, : w2 * 2, :] if h >= 2 and w >= 2 else data
+    if h < 2 or w < 2:
+        return d[..., :h2, :w2, :]
+    d = d.reshape(d.shape[:-3] + (h2, 2, w2, 2, 4))
+    return d.mean(axis=(-4, -2))
+
+
+def build_mips(data, max_levels: int = 16) -> tuple:
+    """Full mip chain below the base level: (half, quarter, ...) down to 1x1.
+    Pure jnp — callable inside jit, so an optimized texture's pyramid stays
+    differentiable w.r.t. the base texels."""
+    mips = []
+    cur = data
+    while (cur.shape[-3] > 1 or cur.shape[-2] > 1) and len(mips) < max_levels:
+        cur = downsample2(cur)
+        mips.append(cur)
+    return tuple(mips)
+
+
+def with_mips(tex: Texture) -> Texture:
+    return tex._replace(mips=build_mips(tex.data))
+
+
+def stack_with_mips(stack: TextureStack) -> TextureStack:
+    return stack._replace(mips=build_mips(stack.data))
+
+
+def _flat_pyramid(levels):
+    """Flatten (level list of (..., h_l, w_l, 4)) into one gatherable buffer
+    (..., sum(h_l*w_l), 4) + static per-level offset/size tables, so a
+    trilinear sample costs 8 gathers total instead of 4 per level."""
+    offsets, widths, heights = [], [], []
+    bufs = []
+    off = 0
+    for lv in levels:
+        h, w = lv.shape[-3], lv.shape[-2]
+        offsets.append(off)
+        widths.append(w)
+        heights.append(h)
+        off += h * w
+        bufs.append(lv.reshape(lv.shape[:-3] + (h * w, 4)))
+    buf = jnp.concatenate(bufs, axis=-2)
+    return (buf, jnp.asarray(offsets, jnp.int32), jnp.asarray(widths, jnp.int32),
+            jnp.asarray(heights, jnp.int32))
+
+
+def _bilinear_flat(buf, off, w, h, u, v, layer=None):
+    """Bilinear REPEAT sample from a flattened level.  ``off``/``w``/``h``
+    are per-pixel int arrays (the selected level's table entries); ``layer``
+    indexes the stack axis when ``buf`` is (T, N, 4)."""
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = u * wf - 0.5
+    y = v * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    y1i = jnp.mod(y0i + 1, h)
+
+    def at(yi, xi):
+        idx = off + yi * w + xi
+        if layer is None:
+            return buf[idx]
+        return buf[layer, idx]
+
+    c00 = at(y0i, x0i)
+    c10 = at(y0i, x1i)
+    c01 = at(y1i, x0i)
+    c11 = at(y1i, x1i)
+    top = c00 + fx * (c10 - c00)
+    bot = c01 + fx * (c11 - c01)
+    return top + fy * (bot - top)
+
+
+def _trilinear(levels, u, v, lod, layer=None):
+    """Trilinear blend between the two mip levels bracketing ``lod``
+    (0 = base).  ``levels`` = (base, mip1, ...)."""
+    n = len(levels)
+    buf, offs, ws, hs = _flat_pyramid(levels)
+    lod = jnp.clip(lod, 0.0, float(n - 1))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n - 1)
+    f = (lod - l0.astype(jnp.float32))[..., None]
+    a = _bilinear_flat(buf, offs[l0], ws[l0], hs[l0], u, v, layer)
+    b = _bilinear_flat(buf, offs[l1], ws[l1], hs[l1], u, v, layer)
+    return a + f * (b - a)
+
+
+def sample_texture_trilinear(tex: Texture, u, v, lod):
+    """LOD-aware sample; equals :func:`sample_texture` at lod == 0."""
+    if not tex.mips:
+        return sample_texture(tex, u, v)
+    return _trilinear((tex.data,) + tuple(tex.mips), u, v, lod)
+
+
+def sample_stack_trilinear(stack: TextureStack, index, u, v, lod):
+    """LOD-aware stack sample; equals :func:`sample_stack` at lod == 0."""
+    if not stack.mips:
+        return sample_stack(stack, index, u, v)
+    idx = jnp.clip(index, 0, stack.data.shape[0] - 1)
+    return _trilinear((stack.data,) + tuple(stack.mips), u, v, lod, layer=idx)
+
+
+def screen_space_lod(tx, ty, valid=None, key=None):
+    """GL-style implicit LOD from screen-space texel-coordinate derivatives.
+
+    ``tx``/``ty``: the sample position in LEVEL-0 TEXELS, shaped (H, W) over
+    the image grid.  Per screen axis the footprint is the L1 texel step to
+    the nearest USABLE neighbor — forward or backward, whichever is smaller
+    (robust across REPEAT seams) — then GL's max-axis rule:
+    lod = log2(max footprint).
+
+    ``valid``/``key``: optional (H, W) masks — a neighbor is usable only when
+    both lanes are valid and carry the same key (same hit object).  This is
+    the analog of GL quad derivatives, where helper lanes shade the SAME
+    primitive; without it, derivatives across object silhouettes produce
+    garbage LOD.  Lanes with no usable neighbor on an axis fall back to
+    footprint 0 (base level) on that axis.
+    """
+    INF = jnp.float32(np.inf)
+
+    def step(axis, shift):
+        dtx = jnp.abs(jnp.roll(tx, shift, axis) - tx)
+        dty = jnp.abs(jnp.roll(ty, shift, axis) - ty)
+        d = dtx + dty
+        if valid is not None:
+            ok = valid & jnp.roll(valid, shift, axis)
+            if key is not None:
+                ok = ok & (key == jnp.roll(key, shift, axis))
+            d = jnp.where(ok, d, INF)
+        return d
+
+    def axis_footprint(axis):
+        d = jnp.minimum(step(axis, -1), step(axis, 1))
+        return jnp.where(jnp.isinf(d), 0.0, d)
+
+    footprint = jnp.maximum(axis_footprint(0), axis_footprint(1))
+    return jnp.maximum(jnp.log2(jnp.maximum(footprint, 1e-8)), 0.0)

@@ -132,6 +132,25 @@ def test_fast_backward_matches_twin_gradients():
                                rtol=2e-2, atol=1e-3)
 
 
+def test_trilinear_parity():
+    """Trilinear minification (mip LOD) roughly matches between the fast path
+    and the jnp renderer.
+
+    Loose fraction by design: LOD comes from screen-space derivatives over
+    same-object neighbors, and the two paths shade different lane sets —
+    render() shades per march STEP (a pixel whose neighbor hits the same
+    object one step later sees no usable neighbor there), the fast path
+    shades whole recorded-segment fields.  Minified high-frequency textures
+    amplify a one-level disagreement into a visible color difference on those
+    stencil-boundary pixels.  Bilinear mode (the default, and the reference's
+    actual sampling — GL_LINEAR min filter) is the strict parity target."""
+    _check(configs.demo_scene(), configs.demo_camera(),
+           st.RenderConfig(width=48, height=32, percent_black=-1.0,
+                           texture_filter="trilinear"),
+           configs.background_texture(), configs.demo_texture_stack(),
+           frac=0.94)
+
+
 def test_horizon_softness_parity():
     """The soft-silhouette composition in the fast path matches render()."""
     _check(configs.demo_scene(), configs.demo_camera(),

@@ -2,6 +2,7 @@
 'bilinear gather vs scipy')."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -85,3 +86,111 @@ def test_sample_stack_indexing(rng):
     out = np.asarray(tx.sample_stack(stack, idx, u, v))
     np.testing.assert_allclose(out[:, 0], [50 / 255, 250 / 255, 50 / 255, 250 / 255],
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Mipmaps (opt-in trilinear minification — the reference never samples mips:
+# its min filter is GL_LINEAR, image_utils.cpp:17,113).
+# ---------------------------------------------------------------------------
+
+
+def test_build_mips_chain():
+    data = jnp.ones((8, 16, 4), jnp.float32)
+    mips = tx.build_mips(data)
+    shapes = [m.shape for m in mips]
+    assert shapes == [(4, 8, 4), (2, 4, 4), (1, 2, 4), (1, 1, 4)]
+    for m in mips:
+        np.testing.assert_allclose(np.asarray(m), 1.0)
+
+
+def test_downsample_box_filter():
+    """A 2x2 black/white checker averages to 0.5 at level 1."""
+    base = np.zeros((4, 4, 4), np.float32)
+    base[::2, ::2] = 1.0
+    base[1::2, 1::2] = 1.0
+    lvl1 = np.asarray(tx.downsample2(jnp.asarray(base)))
+    np.testing.assert_allclose(lvl1, 0.5)
+
+
+def test_trilinear_lod0_equals_bilinear(rng):
+    data = jnp.asarray(rng.random((8, 8, 4)), jnp.float32)
+    t = tx.with_mips(tx.Texture(data=data))
+    u = jnp.asarray(rng.random((5, 7)), jnp.float32)
+    v = jnp.asarray(rng.random((5, 7)), jnp.float32)
+    a = np.asarray(tx.sample_texture(t, u, v))
+    b = np.asarray(tx.sample_texture_trilinear(t, u, v, jnp.zeros((5, 7))))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_trilinear_high_lod_is_mean(rng):
+    """At the deepest level the sample approaches the texture mean."""
+    data = jnp.asarray(rng.random((16, 16, 4)), jnp.float32)
+    t = tx.with_mips(tx.Texture(data=data))
+    out = np.asarray(tx.sample_texture_trilinear(
+        t, jnp.asarray([[0.3]]), jnp.asarray([[0.7]]),
+        jnp.full((1, 1), 10.0)))
+    np.testing.assert_allclose(out[0, 0], np.asarray(data).mean((0, 1)),
+                               atol=1e-5)
+
+
+def test_stack_trilinear_lod0_equals_bilinear(rng):
+    imgs = [(rng.random((8, 8, 3)) * 255).astype(np.uint8),
+            (rng.random((4, 6, 3)) * 255).astype(np.uint8)]
+    stack = tx.stack_with_mips(tx.stack_textures(imgs))
+    idx = jnp.asarray([[0, 1], [1, 0]], jnp.int32)
+    u = jnp.asarray(rng.random((2, 2)), jnp.float32)
+    v = jnp.asarray(rng.random((2, 2)), jnp.float32)
+    a = np.asarray(tx.sample_stack(stack, idx, u, v))
+    b = np.asarray(tx.sample_stack_trilinear(stack, idx, u, v,
+                                             jnp.zeros((2, 2))))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_screen_space_lod_magnified_vs_minified():
+    """A uv field advancing 4 texels/pixel => lod 2; 0.25 texel/pixel =>
+    lod 0 (magnification clamps at the base level)."""
+    H, W = 8, 8
+    y, x = np.mgrid[0:H, 0:W].astype(np.float32)
+    lod_min = np.asarray(tx.screen_space_lod(jnp.asarray(x * 4.0),
+                                             jnp.asarray(y * 4.0)))
+    np.testing.assert_allclose(lod_min, 2.0, atol=1e-5)
+    lod_mag = np.asarray(tx.screen_space_lod(jnp.asarray(x * 0.25),
+                                             jnp.asarray(y * 0.25)))
+    np.testing.assert_allclose(lod_mag, 0.0, atol=1e-5)
+
+
+def test_trilinear_render_reduces_checker_aliasing():
+    """Render the demo scene's checker sphere small; trilinear output must
+    differ from bilinear (mips engaged) while bilinear stays the parity
+    default."""
+    import schwarzschild_tpu as st
+    from schwarzschild_tpu import configs
+
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    cfg_b = st.RenderConfig(width=48, height=32, percent_black=-1.0)
+    cfg_t = st.RenderConfig(width=48, height=32, percent_black=-1.0,
+                            texture_filter="trilinear")
+    img_b = np.asarray(st.render(sc, cam, cfg_b, bg, tex))
+    img_t = np.asarray(st.render(sc, cam, cfg_t, bg, tex))
+    assert np.isfinite(img_t).all()
+    assert (np.abs(img_b - img_t) > 1e-3).any()
+
+
+def test_trilinear_texture_gradients_flow():
+    """build_mips is differentiable: gradients reach the base texels through
+    a trilinear sample."""
+    data = jnp.asarray(np.random.RandomState(0).rand(8, 8, 4), jnp.float32)
+
+    def loss(d):
+        t = tx.Texture(data=d, mips=tx.build_mips(d))
+        out = tx.sample_texture_trilinear(
+            t, jnp.asarray([[0.4]]), jnp.asarray([[0.6]]),
+            jnp.full((1, 1), 1.5))
+        return jnp.sum(out)
+
+    g = np.asarray(jax.grad(loss)(data))
+    assert np.isfinite(g).all()
+    assert (g != 0).any()
