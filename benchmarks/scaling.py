@@ -22,8 +22,12 @@ import jax
 import jax.numpy as jnp
 
 
-def measure_mesh(n_devices: int, size: int = 256, chains=(4, 12)) -> float:
-    """Seconds per frame on an n-device mesh (slope of dependent chains)."""
+def measure_mesh(n_devices: int, size: int = 256, chains=(4, 12),
+                 renderer: str = "jnp", interpret: bool = False) -> float:
+    """Seconds per frame on an n-device mesh (slope of dependent chains).
+
+    ``renderer="fast"`` measures the shard_map'd Pallas path (the production
+    fast path); ``interpret=True`` for CPU fakes."""
     import schwarzschild_tpu as st
     from schwarzschild_tpu import configs
     from schwarzschild_tpu.render import render
@@ -40,12 +44,21 @@ def measure_mesh(n_devices: int, size: int = 256, chains=(4, 12)) -> float:
     out_sh = image_sharding(mesh)
     rep = replicated(mesh)
 
+    if renderer == "fast":
+        from schwarzschild_tpu.kernel_scene import render_fast
+
+        def render_any(r):
+            return render_fast(sc, cam, cfg, bg, None, r, overflow="ignore",
+                               interpret=interpret, mesh=mesh)
+    else:
+        def render_any(r):
+            return render(sc, cam, cfg, bg, None, r)
+
     def mk(chain):
         @jax.jit
         def chained(r0):
             def body(r, _):
-                img = jax.lax.with_sharding_constraint(
-                    render(sc, cam, cfg, bg, None, r), out_sh)
+                img = jax.lax.with_sharding_constraint(render_any(r), out_sh)
                 return r + 1e-7 * jnp.mean(img), None
 
             r, _ = jax.lax.scan(body, r0, None, length=chain)
@@ -66,13 +79,13 @@ def measure_mesh(n_devices: int, size: int = 256, chains=(4, 12)) -> float:
     return (totals[1] - totals[0]) / (chains[1] - chains[0])
 
 
-def run(sizes, image_size=256):
+def run(sizes, image_size=256, renderer="jnp", interpret=False):
     results = {}
     t1 = None
     for n in sizes:
         if n > len(jax.devices()):
             break
-        t = measure_mesh(n, image_size)
+        t = measure_mesh(n, image_size, renderer=renderer, interpret=interpret)
         if t1 is None:
             t1 = t
         throughput = image_size * image_size / t
@@ -86,6 +99,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1,2,4,8")
     ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--renderer", default="jnp", choices=["jnp", "fast"])
+    ap.add_argument("--interpret", action="store_true",
+                    help="Pallas interpreter mode (CPU fakes)")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
-    print(json.dumps(run(sizes, args.image_size), indent=2))
+    print(json.dumps(run(sizes, args.image_size, args.renderer,
+                         args.interpret), indent=2))

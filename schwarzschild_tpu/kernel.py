@@ -199,7 +199,13 @@ def _make_bh_body(r_s, *, max_steps: int, max_angle: float, u_f: float):
             status=status, live=live.astype(f32),
         )
 
-    return body
+    def body_with_exit(i, s):
+        # Early tile exit (see kernel_scene._make_march_body): the body is
+        # exactly the identity once every lane is done.
+        return jax.lax.cond(jnp.any(s["live"] > 0.5), body,
+                            lambda i, s: dict(s), i, s)
+
+    return body_with_exit
 
 
 def _bh_final(state):
@@ -231,9 +237,49 @@ def _march_kernel(rs_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     st_ref[:] = final_status
 
 
+def compact_march(march_fn, origin, direction, active):
+    """Run a march with active rays PACKED into the leading rows.
+
+    The noise mask (percent_black=0.75) scatters inactive lanes uniformly, so
+    no tile is ever fully dead and the kernels' early tile exit never fires.
+    Packing actives first (stable O(n) cumsum permutation, no sort) leaves
+    ~75% of tiles fully inactive — their per-step bodies reduce to the
+    skipped lax.cond branch.  Per-ray results are bit-identical; only the
+    layout the kernel sees changes.
+
+    MEASURED TRADE-OFF (512x512, v5e): the arbitrary-permutation
+    scatter/gather costs ~4 ms — more than the 2.4 ms full march it tries to
+    save — so this LOSES at max_steps=100 and is NOT enabled by the
+    renderers.  It wins only when march cost per ray dwarfs data movement
+    (much larger max_steps or far sparser masks); kept as an explicit opt-in
+    with a bit-equality test.
+
+    ``march_fn(origin, direction, active)`` must map (H, W)-shaped per-ray
+    inputs to a pytree of (H, W[, 3]) per-ray outputs.
+    """
+    H, W = active.shape
+    n = H * W
+    a = active.reshape(n)
+    n_active = jnp.sum(a.astype(jnp.int32))
+    pos_active = jnp.cumsum(a.astype(jnp.int32)) - 1
+    pos_inactive = n_active + jnp.cumsum((~a).astype(jnp.int32)) - 1
+    pos = jnp.where(a, pos_active, pos_inactive)  # ray i -> packed slot pos[i]
+
+    def pack(x):
+        flat = x.reshape((n,) + x.shape[2:])
+        return jnp.zeros_like(flat).at[pos].set(flat).reshape(x.shape)
+
+    def unpack(x):
+        flat = x.reshape((n,) + x.shape[2:])
+        return flat[pos].reshape(x.shape)
+
+    out = march_fn(pack(origin), pack(direction), pack(active))
+    return jax.tree.map(unpack, out)
+
+
 def march_bh(origin, direction, active, r_s, cfg: RenderConfig,
              block_h: int = 8, block_w: int = 128, interpret: bool = False,
-             mesh=None):
+             mesh=None, compact: bool = False):
     """Run the Pallas march over (H, W) rays.
 
     origin/direction: (H, W, 3); active: (H, W) bool (lanes to march).
@@ -247,13 +293,23 @@ def march_bh(origin, direction, active, r_s, cfg: RenderConfig,
     ``mesh``: a ``jax.sharding.Mesh`` to shard the march over image tiles via
     shard_map (each device launches the kernel on its local tile; r_s and all
     shapes replicated).  None = single-device.
+
+    ``compact``: pack active rays into leading rows first (see
+    :func:`compact_march`) — a large win for sparse noise masks.  Under a
+    mesh, compaction runs per-shard (each device packs its own tile).
     """
     if mesh is not None:
         from .sharding import shard_march
 
         fn = functools.partial(march_bh, cfg=cfg, block_h=block_h,
-                               block_w=block_w, interpret=interpret)
+                               block_w=block_w, interpret=interpret,
+                               compact=compact)
         return shard_march(mesh, fn)(origin, direction, active, r_s)
+    if compact:
+        return compact_march(
+            lambda o, d, a: march_bh(o, d, a, r_s, cfg, block_h=block_h,
+                                     block_w=block_w, interpret=interpret),
+            origin, direction, active)
     H, W = active.shape
     pad_h = (-H) % block_h
     pad_w = (-W) % block_w
@@ -327,7 +383,7 @@ def march_bh_jnp(origin, direction, active, r_s, cfg: RenderConfig,
 
 
 def march_bh_diff(origin, direction, active, r_s, cfg: RenderConfig,
-                  interpret: bool = False, mesh=None):
+                  interpret: bool = False, mesh=None, compact: bool = False):
     """Differentiable horizon+sky march: Pallas forward, checkpointed jnp
     replay backward (gradients to origin/direction/r_s at fixed discrete
     capture/escape decisions)."""
@@ -335,7 +391,7 @@ def march_bh_diff(origin, direction, active, r_s, cfg: RenderConfig,
     @jax.custom_vjp
     def f(origin, direction, r_s):
         return march_bh(origin, direction, active, r_s, cfg,
-                        interpret=interpret, mesh=mesh)
+                        interpret=interpret, mesh=mesh, compact=compact)
 
     def fwd(origin, direction, r_s):
         return f(origin, direction, r_s), (origin, direction, r_s)

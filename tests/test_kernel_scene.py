@@ -132,6 +132,30 @@ def test_fast_backward_matches_twin_gradients():
                                rtol=2e-2, atol=1e-3)
 
 
+def test_compact_march_bit_equal():
+    """Packing active rays into leading rows (compact=True) must be
+    bit-identical per ray to the unpacked march — only layout changes."""
+    from schwarzschild_tpu import camera as cam_mod
+    from schwarzschild_tpu.render import pixel_hash_rand
+
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    cfg = st.RenderConfig(width=32, height=24, percent_black=-1.0)
+    u_ndc, v_ndc = cam_mod.pixel_grid(cfg.width, cfg.height)
+    origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc,
+                                              cfg.width, cfg.height)
+    active = np.asarray(pixel_hash_rand(cfg.width, cfg.height, 0)) > 0.75
+
+    a = march_scene(origin, direction, active, 1.0, sc, cfg, interpret=True)
+    b = march_scene(origin, direction, active, 1.0, sc, cfg, interpret=True,
+                    compact=True)
+    for xa, xb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        xa, xb = np.asarray(xa), np.asarray(xb)
+        mask = np.broadcast_to(active[..., None] if xa.ndim == 3 else active,
+                               xa.shape)
+        np.testing.assert_array_equal(xa[mask], xb[mask])
+
+
 def test_trilinear_parity():
     """Trilinear minification (mip LOD) roughly matches between the fast path
     and the jnp renderer.

@@ -43,9 +43,7 @@ _WORKER = textwrap.dedent("""
 """)
 
 
-@pytest.mark.skipif(os.environ.get("SCHW_SKIP_MULTIHOST") == "1",
-                    reason="explicitly disabled")
-def test_two_process_distributed_frame_split(tmp_path):
+def _run_distributed(tmp_path, n_procs):
     import socket
 
     with socket.socket() as s:
@@ -58,15 +56,17 @@ def test_two_process_distributed_frame_split(tmp_path):
     env.pop("XLA_FLAGS", None)  # virtual-device flag breaks distributed init
 
     procs = [
-        subprocess.Popen([sys.executable, str(script), str(pid), "2", port],
-                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                         env=env, text=True)
-        for pid in range(2)
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(n_procs), port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, text=True)
+        for pid in range(n_procs)
     ]
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=240)
+            # Generous: 4 workers compiling concurrently on a loaded CI box.
+            out, err = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -75,7 +75,7 @@ def test_two_process_distributed_frame_split(tmp_path):
         outs.append(out)
 
     lines = [l for o in outs for l in o.splitlines() if l.startswith("FRAMES")]
-    assert len(lines) == 2
+    assert len(lines) == n_procs
     frames = []
     sums = set()
     for l in lines:
@@ -84,3 +84,18 @@ def test_two_process_distributed_frame_split(tmp_path):
         sums.add(parts[-1])
     assert sorted(frames) == list(range(6))
     assert len(sums) == 1  # every process sees the same global checksum
+
+
+@pytest.mark.skipif(os.environ.get("SCHW_SKIP_MULTIHOST") == "1",
+                    reason="explicitly disabled")
+def test_two_process_distributed_frame_split(tmp_path):
+    _run_distributed(tmp_path, 2)
+
+
+@pytest.mark.skipif(os.environ.get("SCHW_SKIP_MULTIHOST") == "1",
+                    reason="explicitly disabled")
+def test_four_process_distributed_frame_split(tmp_path):
+    """BASELINE's host count (4); with 6 frames over 4 processes the last
+    process gets ZERO frames — the allgather/frame-split edge case VERDICT
+    round 1 item 8 asks for."""
+    _run_distributed(tmp_path, 4)
