@@ -38,12 +38,16 @@ def render_trajectory(
     logger: Optional[MetricsLogger] = None,
     overwrite: bool = False,
     all_frames_local: bool = False,
+    renderer: str = "jnp",
 ):
     """Render the hyperbolic flyby.
 
     times: normalized trajectory times in [0, 1] (default: n_frames uniform —
     the reference sweeps t in [0, 1] over HYPERBOLIC_TRAJECTORY_DURATION
     seconds, main.cpp:408-410).  Returns the list of (frame_index, image|path).
+
+    ``renderer="fast"`` drives the Pallas full-scene kernel
+    (kernel_scene.render_fast) — the production path for animation configs.
     """
     if times is None:
         times = np.linspace(0.0, 1.0, n_frames)
@@ -51,7 +55,21 @@ def render_trajectory(
     logger = logger or MetricsLogger()
     out = []
 
-    jit_render = jax.jit(render, static_argnames="cfg")
+    if renderer == "fast":
+        from .kernel_scene import render_fast
+
+        def _fast(sc, cam, background, tex, r_s):
+            return render_fast(sc, cam, cfg, background, tex, r_s,
+                               overflow="ignore")
+
+        _jit_fast = jax.jit(_fast)
+
+        def jit_render(sc, cam, _cfg, background, tex, r_s):
+            return _jit_fast(sc, cam, background, tex, r_s)
+    elif renderer == "jnp":
+        jit_render = jax.jit(render, static_argnames="cfg")
+    else:
+        raise ValueError(f"unknown renderer {renderer!r}")
     base_cam = cam_mod.make_camera((0.0, 2.0, 15.0))
 
     if all_frames_local:
@@ -74,7 +92,10 @@ def render_trajectory(
             base_cam, initial_distance, closest_distance, float(times[idx]))
         with FrameTimer(logger, idx, cfg.width * cfg.height, cfg.max_steps):
             img = jit_render(sc, cam, cfg, background, tex, r_s)
-            img.block_until_ready()
+            # Host fetch as the barrier: through the axon tunnel
+            # block_until_ready can return before the device finishes, but a
+            # full transfer cannot.
+            img = np.asarray(img)
         if out_path:
             save_png(img, f)
             out.append((idx, str(f)))
