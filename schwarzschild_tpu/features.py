@@ -37,17 +37,15 @@ def calculate_test_ray(cam: Camera, capacity: int = MAX_STEPS + 1,
     origin = np.asarray(cam.pos, f32) + direction * f32(TEST_RAY_OFFSET)
 
     normal_vec = origin / np.linalg.norm(origin).astype(f32)
-    tangent_vec = np.cross(np.cross(normal_vec, direction), normal_vec)
-    tangent_vec = (tangent_vec / np.linalg.norm(tangent_vec)).astype(f32)
-
-    u = f32(1.0) / np.linalg.norm(origin).astype(f32)
-    du = -u * f32(np.dot(direction, normal_vec)) / f32(np.dot(direction, tangent_vec))
-
     max_angle = f32(2.0 * max_revolutions * np.pi)
 
     if abs(np.dot(direction, normal_vec)) >= 1.0 - 1e-6:  # radial, main.cpp:104
         pts = [origin, origin + direction]
     else:
+        tangent_vec = np.cross(np.cross(normal_vec, direction), normal_vec)
+        tangent_vec = (tangent_vec / np.linalg.norm(tangent_vec)).astype(f32)
+        u = f32(1.0) / np.linalg.norm(origin).astype(f32)
+        du = -u * f32(np.dot(direction, normal_vec)) / f32(np.dot(direction, tangent_vec))
         pts = [origin]
         phi = f32(0.0)
         for i in range(max_steps):

@@ -58,7 +58,55 @@ STATUS_FLAT_FINISH = 3.0
 _EPS = 1e-7
 
 
-def _pack_scene_smem(sc: Scene):
+def _test_ray_cylinder_rows(test_ray, r_s, radius=0.025,
+                            extended_length=1000.0):
+    """Debug test-ray tubes (frag:760-803) as cylinder-table rows for the
+    kernel's validity test: the straight (flat, green) tube plus the chain of
+    curved (red) segment tubes; the final segment is extended when the
+    geodesic fell through the horizon (frag:782-784, radius test vs r_s).
+
+    Inactive chain slots get height=-1 (can never pass the y in [0, height]
+    test) and an identity frame (no NaNs into SMEM).
+    """
+    from . import geometry as geo
+
+    f32 = jnp.float32
+    pts = jnp.asarray(test_ray.points, f32)
+    npts = test_ray.num_points
+    k = pts.shape[0] - 1
+
+    def seg_frame(diff):
+        xzy = diff[..., jnp.array([0, 2, 1])]
+        zxy = diff[..., jnp.array([2, 0, 1])]
+        return geo.gram_schmidt(jnp.stack([xzy, diff, zxy], axis=-1))
+
+    p0 = pts[:-1]
+    diff = pts[1:] - p0
+    seg_idx = jnp.arange(k)
+    active = (seg_idx < npts - 1) & (npts >= 2)
+    seg_len = geo.length(diff)
+    last_inside = geo.length(pts[jnp.maximum(npts - 1, 0)]) < r_s
+    is_last = seg_idx == npts - 2
+    seg_len = jnp.where(is_last & last_inside, f32(extended_length), seg_len)
+    height = jnp.where(active, seg_len, f32(-1.0))
+
+    frames = seg_frame(diff)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=f32), frames.shape)
+    frames = jnp.where(active[:, None, None], frames, eye)
+
+    def rows(pos, fr, h, rad):
+        return jnp.concatenate([
+            pos, fr[..., :, 0], fr[..., :, 1], fr[..., :, 2],
+            h[..., None], jnp.full_like(h[..., None], rad)], axis=-1)
+
+    curved = rows(p0, frames, height, radius)
+    flat = rows(jnp.asarray(test_ray.flat_origin, f32)[None],
+                seg_frame(jnp.asarray(test_ray.flat_dir, f32))[None],
+                jnp.asarray([extended_length], f32), radius)
+    return jnp.concatenate([flat, curved], axis=0)
+
+
+def _pack_scene_smem(sc: Scene, test_ray=None, r_s=1.0):
     """Scene -> dict of f32 SMEM tables for the kernel.
 
     planes: (N,6)  [pos, normal]
@@ -68,6 +116,10 @@ def _pack_scene_smem(sc: Scene):
     cylinders: (N,14) [pos, axes(cols flat), height, radius]
     rects: (N,12) [pos, ax0, normal(ax1), ax2] + (N,2) [w,h] merged -> (N,14)
     boxes -> 6 rect rows each: (N*6, 14)
+
+    ``test_ray``: debug tubes appended to the cylinders table — the kernel
+    needs only validity (record-a-slot), the slot re-intersection shades the
+    red/green tube colors via ``intersect_scene(..., test_ray=...)``.
     """
     out = {}
 
@@ -97,6 +149,13 @@ def _pack_scene_smem(sc: Scene):
             ax[:, :, 0], ax[:, :, 1], ax[:, :, 2],
             jn(sc.cylinders.height)[:, None],
             jn(sc.cylinders.radius)[:, None]], 1)
+
+    if test_ray is not None:
+        tube_rows = _test_ray_cylinder_rows(test_ray, jn(r_s))
+        if "cylinders" in out:
+            out["cylinders"] = jnp.concatenate([out["cylinders"], tube_rows], 0)
+        else:
+            out["cylinders"] = tube_rows
 
     rect_rows = []
     if sc.rectangles.mat_idx.shape[0]:
@@ -147,7 +206,7 @@ def _init_march_state(ox, oy, oz, dx, dy, dz, marching, n_slots):
     tx, ty, tz, nd0 = _tangent_of(nx, ny, nz, dx, dy, dz)
     u = inv_len_o
     dt0 = _dot3(tx, ty, tz, dx, dy, dz)
-    du = -u * nd0 / jnp.where(jnp.abs(dt0) < 1e-20, 1e-20, dt0)
+    du = -u * nd0 / jnp.where(jnp.abs(dt0) < 1e-12, 1e-12, dt0)
 
     zero = jnp.zeros_like(u)
     state = dict(
@@ -215,7 +274,7 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
             nxs, nys, nzs = t[i, 3], t[i, 4], t[i, 5]
             denom = dot3(nxs, nys, nzs, sdx, sdy, sdz)
             num = nxs * (t[i, 0] - px) + nys * (t[i, 1] - py) + nzs * (t[i, 2] - pz)
-            lam = num / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            lam = num / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
             ok = (jnp.abs(denom) >= _EPS) & within(lam)
             return ok, lam
 
@@ -264,7 +323,7 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
                 dps = ldx * ldx + ldz * ldz
                 disc = a * a + dps * (radius * radius - (lox * lox + loz * loz))
                 sq = jnp.sqrt(jnp.maximum(disc, 1e-20))  # see sphere_entry
-                dps_s = jnp.where(jnp.abs(dps) < 1e-20, 1e-20, dps)
+                dps_s = jnp.where(jnp.abs(dps) < 1e-12, 1e-12, dps)
                 lam1 = -(a + sq) / dps_s
                 lam2 = -(a - sq) / dps_s
                 y1 = loy + lam1 * ldy
@@ -287,7 +346,7 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
                 denom = dot3(nxs, nys, nzs, sdx, sdy, sdz)
                 num = (nxs * (t[i, 0] - px) + nys * (t[i, 1] - py)
                        + nzs * (t[i, 2] - pz))
-                lam = num / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+                lam = num / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
                 ok = (jnp.abs(denom) >= _EPS) & within(lam)
                 hx = px + lam * sdx - t[i, 0]
                 hy = py + lam * sdy - t[i, 1]
@@ -324,7 +383,7 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
         ntx, nty, ntz, _ = tangent_of(nnx, nny, nnz, s["dx"], s["dy"], s["dz"])
         dt = dot3(ntx, nty, ntz, s["dx"], s["dy"], s["dz"])
         new_u = inv_h
-        new_du = -new_u * nd / jnp.where(jnp.abs(dt) < 1e-20, 1e-20, dt)
+        new_du = -new_u * nd / jnp.where(jnp.abs(dt) < 1e-12, 1e-12, dt)
 
         sel = jnp.where
         nx = sel(reinit, nnx, s["nx"])
@@ -450,7 +509,8 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
 
 def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
                 n_slots: int = 4, block_h: int = 8, block_w: int = 128,
-                interpret: bool = False, mesh=None, compact: bool = False):
+                interpret: bool = False, mesh=None, compact: bool = False,
+                test_ray=None):
     """Pallas scene march.  Returns (final_dir, final_pos, status, slots,
     nhits) where slots is a list of K (start (H,W,3), dir (H,W,3), length
     (H,W)) and nhits (H,W) counts ALL segment hits along each ray — uncapped,
@@ -468,7 +528,7 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
             return march_scene(origin, direction, active, r_s, sc, cfg,
                                n_slots=n_slots, block_h=block_h,
                                block_w=block_w, interpret=interpret,
-                               compact=compact)
+                               compact=compact, test_ray=test_ray)
 
         return shard_march(mesh, fn)(origin, direction, active, r_s, sc)
     if compact:
@@ -477,7 +537,8 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
         return compact_march(
             lambda o, d, a: march_scene(o, d, a, r_s, sc, cfg,
                                         n_slots=n_slots, block_h=block_h,
-                                        block_w=block_w, interpret=interpret),
+                                        block_w=block_w, interpret=interpret,
+                                        test_ray=test_ray),
             origin, direction, active)
     H, W = active.shape
     pad_h = (-H) % block_h
@@ -491,7 +552,7 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
     comps += [pad(active.astype(jnp.float32))]
     ph, pw = comps[0].shape
 
-    tables = _pack_scene_smem(sc)
+    tables = _pack_scene_smem(sc, test_ray=test_ray, r_s=r_s)
     table_names = tuple(sorted(tables))
     table_rows = {k: int(tables[k].shape[0]) for k in table_names}
 
@@ -540,7 +601,7 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
 
 def march_scene_jnp(origin, direction, active, r_s, sc: Scene,
                     cfg: RenderConfig, n_slots: int = 4,
-                    checkpoint_every: Optional[int] = None):
+                    checkpoint_every: Optional[int] = None, test_ray=None):
     """Dense-jnp twin of the Pallas scene march — IDENTICAL math, identical
     outputs (validity-only intersections, no shading/texturing).
 
@@ -557,7 +618,7 @@ def march_scene_jnp(origin, direction, active, r_s, sc: Scene,
     O(state x steps/K + state x K).
     """
     f32 = jnp.float32
-    tables = _pack_scene_smem(sc)
+    tables = _pack_scene_smem(sc, test_ray=test_ray, r_s=r_s)
     table_names = tuple(sorted(tables))
     table_rows = {k: int(tables[k].shape[0]) for k in table_names}
 
@@ -605,7 +666,7 @@ def march_scene_jnp(origin, direction, active, r_s, sc: Scene,
 def march_scene_diff(origin, direction, active, r_s, sc: Scene,
                      cfg: RenderConfig, n_slots: int = 4,
                      interpret: bool = False, mesh=None,
-                     compact: bool = False):
+                     compact: bool = False, test_ray=None):
     """Differentiable scene march: Pallas kernel FORWARD, checkpointed
     validity-march replay BACKWARD.
 
@@ -622,7 +683,7 @@ def march_scene_diff(origin, direction, active, r_s, sc: Scene,
     def f(origin, direction, r_s):
         return march_scene(origin, direction, active, r_s, sc, cfg,
                            n_slots=n_slots, interpret=interpret, mesh=mesh,
-                           compact=compact)
+                           compact=compact, test_ray=test_ray)
 
     def fwd(origin, direction, r_s):
         return f(origin, direction, r_s), (origin, direction, r_s)
@@ -632,7 +693,7 @@ def march_scene_diff(origin, direction, active, r_s, sc: Scene,
 
         def g(origin, direction, r_s):
             return march_scene_jnp(origin, direction, active, r_s, sc, cfg,
-                                   n_slots=n_slots)
+                                   n_slots=n_slots, test_ray=test_ray)
 
         _, vjp = jax.vjp(g, origin, direction, jnp.asarray(r_s, jnp.float32))
         return vjp(cotangent)
@@ -653,13 +714,16 @@ def render_fast(
     overflow: str = "warn",
     mesh=None,
     differentiable: bool = False,
+    test_ray=None,
 ) -> jnp.ndarray:
     """Full-featured fast renderer: Pallas march + K-slot jnp shading.
 
-    Matches render() — including split-screen modes, noise masks, crosshair
-    and the horizon_softness soft silhouette (tested in
-    tests/test_kernel_scene.py); fall back to render() only for test-ray
-    overlays (the debug tubes are not tested inside the kernel).
+    Matches render() — including split-screen modes, noise masks, crosshair,
+    the horizon_softness soft silhouette AND the debug test-ray overlay
+    (``test_ray=``: tube segments ride the kernel's cylinder table as
+    validity rows; the slot re-intersection shades them red/green).  Consider
+    raising ``n_slots`` with a test ray on: tube crossings consume recording
+    slots like any other hit.
 
     ``overflow`` controls slot-overflow detection (rays crossing more than
     ``n_slots`` translucent hits drop the extras — the documented deviation):
@@ -727,7 +791,7 @@ def render_fast(
         march = march_scene_diff if differentiable else march_scene
         fdir, fpos, status, slots, nhits = march(
             origin, direction, march_px, r_s, sc, cfg, n_slots=n_slots,
-            interpret=interpret, mesh=mesh)
+            interpret=interpret, mesh=mesh, test_ray=test_ray)
     else:
         fdir, fpos = direction, origin
         status = jnp.full(batch, STATUS_ESCAPED, f32)
@@ -756,7 +820,8 @@ def render_fast(
             # jnp recomputation differ by ~1 ulp, and a recorded hit must not
             # fall off the end of its own segment.
             window = jnp.where(rec, slen * 1.0001 + 1e-5, 1.0)
-            hit = intersect_scene(start, safe_dir, window, sc, r_s)
+            hit = intersect_scene(start, safe_dir, window, sc, r_s,
+                                  test_ray=test_ray)
             rgba = shade(hit, -safe_dir, sc, tex, trilinear=trilinear)
             return rgba, hit.valid, hit.obj_type == OBJECT_TYPE_SPECIAL
 
@@ -781,7 +846,7 @@ def render_fast(
     use_pos = jnp.where(flat_px[..., None], origin, fpos)
     use_dir = jnp.where(flat_px[..., None], direction, fdir)
     flat_hit = intersect_scene(use_pos, use_dir, jnp.full(batch, -1.0, f32),
-                               sc, r_s)
+                               sc, r_s, test_ray=test_ray)
     flat_rgba = shade(flat_hit, -use_dir, sc, tex, trilinear=trilinear)
     flat_take = flat_mask & flat_hit.valid
     color = color + jnp.where(flat_take[..., None], flat_rgba, 0.0)
@@ -805,7 +870,7 @@ def render_fast(
             geo.cross(geo.cross(normal_vec0, direction), normal_vec0))
         u0 = 1.0 / geo.length(origin)
         dt0 = geo.dot(direction, tangent_vec0)
-        dt0 = jnp.where(jnp.abs(dt0) < 1e-20, 1e-20, dt0)
+        dt0 = jnp.where(jnp.abs(dt0) < 1e-12, 1e-12, dt0)
         du0 = -u0 * geo.dot(direction, normal_vec0) / dt0
         e0 = du0 * du0 + u0 * u0 * (1.0 - r_s * u0)
         b_geo = 1.0 / jnp.sqrt(jnp.maximum(e0, 1e-20))

@@ -90,3 +90,24 @@ def test_kernel_non_tile_aligned_shapes():
     assert status.shape == (H, W)
     assert final_dir.shape == (H, W, 3)
     assert np.isfinite(np.asarray(final_dir)).all()
+
+
+def test_8k_background_path():
+    """The 8192x4096 background option (main.cpp:57-63 compile switch) loads
+    and renders through both paths; skipped when the asset isn't present."""
+    from pathlib import Path
+
+    from schwarzschild_tpu.configs import asset_dir
+
+    if not (Path(asset_dir()) / "textures" / "background" / "8k.jpg").exists():
+        pytest.skip("8k background asset not available")
+    bg = configs.background_texture("8k")
+    assert bg.data.shape == (4096, 8192, 4)
+
+    cam = configs.demo_camera()
+    cfg = st.RenderConfig(width=32, height=24, percent_black=-1.0)
+    ref = np.asarray(st.render(st.empty_scene(), cam, cfg, bg, None))
+    fast = np.asarray(render_horizon_sky(cam, cfg, bg, interpret=True))
+    d = np.abs(ref - fast).max(-1)
+    assert (d < 2e-3).mean() > 0.995
+    assert np.isfinite(fast).all()
