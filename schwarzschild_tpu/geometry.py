@@ -93,18 +93,25 @@ def normalize(v):
     return v / length(v)[..., None]
 
 
-def safe_length(v, eps=1e-30):
+def safe_length(v, eps=1e-24):
     """|v| with a reverse-mode-safe zero: sqrt(max(v.v, eps)).
 
     Plain sqrt(dot(v, v)) has derivative inf at v=0, which turns into NaN
     gradients via the 0-cotangent-times-inf of masked lanes — the standard
     JAX where-mask pitfall.  At valid lanes (|v|^2 >> eps) this is bit-identical
     to length().
+
+    eps must be a NORMAL f32 (>= ~1.2e-38), and so must every downstream
+    square of sqrt(eps): TPUs flush f32 denormals to zero, so the former
+    1e-30 default behaved as eps=0 on TPU and still emitted NaN gradients
+    on zero-length lanes (CPU, which keeps denormals, was clean — the
+    round-1 'TPU-only non-finite gradients' issue).  1e-24 keeps
+    sqrt(eps) = 1e-12 and its square 1e-24 in normal range.
     """
     return jnp.sqrt(jnp.maximum(dot(v, v), eps))
 
 
-def safe_normalize(v, eps=1e-30):
+def safe_normalize(v, eps=1e-24):
     """normalize(v) with finite gradients everywhere (0 maps to 0)."""
     return v / safe_length(v, eps)[..., None]
 

@@ -35,12 +35,21 @@ from .scene import (
 )
 
 _TINY = 1e-20
+# Division guards must be >= ~1e-19: reverse-mode d(a/b)/db = -a/b^2, and on
+# TPU (flush-to-zero, no f32 denormals) a guard of 1e-20 squares to 1e-40 -> 0
+# -> inf -> NaN gradients, while CPU keeps the denormal and stays finite.
+# 1e-12 squares to 1e-24 (comfortably normal); every validity test that gates
+# these denominators triggers at >= 1e-7, so no valid lane's forward value can
+# change.  This was the root cause of the round-1 "TPU-only non-finite
+# gradient lanes" known issue.
+_DIV_GUARD = 1e-12
 _INF = jnp.float32(jnp.inf)
 
 
 def _safe_div(a, b):
     """a / b with b guarded away from 0 (sign-preserving)."""
-    guarded = jnp.where(jnp.abs(b) < _TINY, jnp.where(b < 0, -_TINY, _TINY), b)
+    guarded = jnp.where(jnp.abs(b) < _DIV_GUARD,
+                        jnp.where(b < 0, -_DIV_GUARD, _DIV_GUARD), b)
     return a / guarded
 
 
@@ -143,11 +152,17 @@ def _mk_cand(valid, dist, point, tangent, bitangent, normal, uv, obj_type, mat_i
 def _phi_of(local_x, local_z):
     """atan(x, z) wrapped to [0, 2pi) (frag:215-216 et al.).
 
-    Guarded at (0, 0) where arctan2's gradient is NaN (exact pole-axis hits).
+    arctan2's gradient is (z, -x) / (x^2 + z^2); lanes within ~1e-19 of the
+    pole axis flush that denominator to zero on TPU (no f32 denormals) and
+    emit NaN cotangents even though the lane is masked invalid downstream.
+    Substituting BOTH inputs on degenerate lanes (double-where) zeroes their
+    gradient path entirely; the forward value only changes for r < 1e-12 —
+    sub-texel, and phi is undefined on the axis anyway.
     """
-    degenerate = (jnp.abs(local_x) < _TINY) & (jnp.abs(local_z) < _TINY)
-    local_z = jnp.where(degenerate, _TINY, local_z)
-    phi = jnp.arctan2(local_x, local_z)
+    degenerate = local_x * local_x + local_z * local_z < _DIV_GUARD * _DIV_GUARD
+    x = jnp.where(degenerate, 0.0, local_x)
+    z = jnp.where(degenerate, 1.0, local_z)
+    phi = jnp.arctan2(x, z)
     return jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
 
 
@@ -240,7 +255,9 @@ def _radial_frame(pos, axes, point, radius_like):
     disp = point - pos
     local = geo.mat_tvec(axes, disp)
     phi = _phi_of(local[..., 0], local[..., 2])
-    r_local = geo.length(local)
+    # safe_length: a zero-length local (ray through the disk center axis,
+    # masked invalid downstream) must not emit inf * 0 = NaN in reverse mode.
+    r_local = geo.safe_length(local)
     tangent = _safe_normalize(disp)
     cp, sp = jnp.cos(phi), jnp.sin(phi)
     bitangent = geo.mat_vec(axes, jnp.stack([cp, jnp.zeros_like(cp), -sp], -1))

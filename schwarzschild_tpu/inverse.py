@@ -112,28 +112,46 @@ def make_loss(sc: Scene, cfg: RenderConfig, background: Texture,
     return loss_fn
 
 
-def zero_nonfinite() -> optax.GradientTransformation:
-    """Zero out non-finite gradient entries (NaN and inf).
+class ZeroNonfiniteState(NamedTuple):
+    fired: jnp.ndarray  # () int32 — total non-finite entries zeroed so far
 
-    A single diverged ray lane poisons its whole reduced gradient leaf; on
-    TPU, FMA-contraction rounding occasionally sends a near-critical geodesic
-    through an unguarded backward case that the CPU trajectories miss (known
-    issue, see memory/round-1 notes).  Zeroing the bad entries lets every
-    finite direction keep optimizing instead of freezing the step.
+
+def zero_nonfinite() -> optax.GradientTransformation:
+    """Belt-and-braces: zero non-finite gradient entries AND count them.
+
+    The march backward is guarded to be finite everywhere — the round-1
+    'TPU-only non-finite gradients' were root-caused to f32 denormal
+    flush-to-zero through 1e-20 division guards and a 1e-30 safe_length eps
+    (fixed in geometry.py/intersect.py/render.py; verified finite over 40
+    TPU optimization steps without this transform).  This transform remains
+    as an assert-and-log layer: it should never fire, and ``state.fired``
+    exposes a counter so :func:`fit` can warn loudly if it ever does.
     """
 
     def init_fn(params):
         del params
-        return optax.EmptyState()
+        return ZeroNonfiniteState(fired=jnp.zeros((), jnp.int32))
 
     def update_fn(updates, state, params=None):
         del params
+        bad = jax.tree_util.tree_reduce(
+            lambda acc, g: acc + (~jnp.isfinite(g)).sum(), updates,
+            jnp.zeros((), jnp.int32))
         updates = jax.tree_util.tree_map(
             lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)),
             updates)
-        return updates, state
+        return updates, ZeroNonfiniteState(fired=state.fired + bad)
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def nonfinite_fired(opt_state) -> int:
+    """Total gradient entries the zero_nonfinite layer has zeroed (0 when
+    the guards are doing their job)."""
+    counts = [int(s.fired) for s in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, ZeroNonfiniteState))
+        if isinstance(s, ZeroNonfiniteState)]
+    return sum(counts)
 
 
 def default_optimizer(learning_rate=2e-2) -> optax.GradientTransformation:
@@ -201,6 +219,11 @@ def fit(sc, cfg, background, tex, disk_slot, target, cam0, r_s0=0.7,
             log_fn(f"step {step}: loss {float(loss):.6f}")
         if ckpt and checkpoint_every and (step + 1) % checkpoint_every == 0:
             ckpt.save(step + 1, _tree())
+    fired = nonfinite_fired(opt_state)
+    if fired:
+        log_fn(f"WARNING: {fired} non-finite gradient entries were zeroed — "
+               "the march backward guards should make this impossible; "
+               "please report (see inverse.zero_nonfinite)")
     if ckpt:
         ckpt.save(n_steps, _tree())
     return params, history

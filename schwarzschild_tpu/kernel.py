@@ -74,7 +74,7 @@ def _init_bh_state(ox, oy, oz, dx, dy, dz, marching):
     tx, ty, tz, nd0 = _tangent_of(nx, ny, nz, dx, dy, dz)
     u = inv_len_o
     dt0 = _dot3(tx, ty, tz, dx, dy, dz)
-    du = -u * nd0 / jnp.where(jnp.abs(dt0) < 1e-20, 1e-20, dt0)
+    du = -u * nd0 / jnp.where(jnp.abs(dt0) < 1e-12, 1e-12, dt0)
     return dict(
         px=ox, py=oy, pz=oz,
         dx=dx, dy=dy, dz=dz,
@@ -138,7 +138,7 @@ def _make_bh_body(r_s, *, max_steps: int, max_angle: float, u_f: float):
         ntx, nty, ntz, _ = tangent_of(nnx, nny, nnz, s["dx"], s["dy"], s["dz"])
         dt = dot3(ntx, nty, ntz, s["dx"], s["dy"], s["dz"])
         new_u = inv_h
-        new_du = -new_u * nd / jnp.where(jnp.abs(dt) < 1e-20, 1e-20, dt)
+        new_du = -new_u * nd / jnp.where(jnp.abs(dt) < 1e-12, 1e-12, dt)
 
         def sel(m, a, b):
             return jnp.where(m, a, b)
@@ -492,7 +492,7 @@ def render_horizon_sky(cam, cfg: RenderConfig, background: Texture, r_s=1.0,
             geo.cross(geo.cross(normal_vec0, direction), normal_vec0))
         u0 = 1.0 / geo.length(origin)
         dt0 = geo.dot(direction, tangent_vec0)
-        dt0 = jnp.where(jnp.abs(dt0) < 1e-20, 1e-20, dt0)
+        dt0 = jnp.where(jnp.abs(dt0) < 1e-12, 1e-12, dt0)
         du0 = -u0 * geo.dot(direction, normal_vec0) / dt0
         e0 = du0 * du0 + u0 * u0 * (1.0 - r_s * u0)
         b_geo = 1.0 / jnp.sqrt(jnp.maximum(e0, 1e-20))

@@ -120,12 +120,16 @@ def _march_step(
     finish_flat = ff & (~big_valid | radial)
     reinit = ff & big_valid & ~radial
 
+    # Divisor guards at 1e-12, NOT 1e-20: d(a/b)/db = -a/b^2 flushes a
+    # 1e-20 guard to zero on TPU (f32 FTZ) -> NaN grads (see intersect.py
+    # _DIV_GUARD).  Non-radial lanes have |dot(dir, tangent)| >= ~4.5e-4,
+    # so the forward value of live lanes is untouched.
     new_t = geo.safe_normalize(geo.cross(geo.cross(new_n, state.direction), new_n))
     t_safe = jnp.where(
-        jnp.abs(geo.dot(state.direction, new_t)) < 1e-20, 1e-20,
+        jnp.abs(geo.dot(state.direction, new_t)) < 1e-12, 1e-12,
         geo.dot(state.direction, new_t),
     )
-    new_u = 1.0 / jnp.maximum(geo.length(big_point), 1e-20)
+    new_u = 1.0 / jnp.maximum(geo.length(big_point), 1e-12)
     new_du = -new_u * geo.dot(state.direction, new_n) / t_safe
 
     normal_vec = wherev(reinit, new_n, state.normal_vec)
@@ -194,6 +198,22 @@ def _march_step(
     )
 
 
+class RenderContext(NamedTuple):
+    """Pre-march quantities the post-march composition needs (beyond the
+    march state itself): the crosshair base layer, the flat-pixel dispatch
+    mask and the initial orbital-plane (u, du) for the soft-horizon impact
+    parameter.  Exposing this split (:func:`_prepare` -> :func:`_run_march`
+    -> :func:`_finalize`) lets tools replay the march step-by-step — e.g.
+    manual backward-sweep debugging of gradient non-finiteness."""
+
+    base: jnp.ndarray  # (..., 4) crosshair layer
+    flat_px: jnp.ndarray  # (...,) bool
+    u0: jnp.ndarray  # (...,) initial inverse radius
+    du0: jnp.ndarray  # (...,) initial du/dphi
+    background: Texture  # with mips attached when trilinear
+    tex: Optional[TextureStack]
+
+
 def render(
     sc: Scene,
     cam: cam_mod.Camera,
@@ -207,8 +227,16 @@ def render(
 
         jit_render = jax.jit(render, static_argnames="cfg")
     """
+    r_s = jnp.asarray(r_s, jnp.float32)
+    state, ctx = _prepare(sc, cam, cfg, background, tex, r_s)
+    if cfg.raytrace_type != cam_mod.FLAT:
+        state = _run_march(state, sc, cfg, r_s, ctx.tex, test_ray)
+    return _finalize(state, ctx, sc, cfg, r_s, test_ray)
+
+
+def _prepare(sc, cam, cfg, background, tex, r_s):
+    """Rays, dispatch masks and the initial march state (frag:850-887)."""
     f32 = jnp.float32
-    r_s = jnp.asarray(r_s, f32)
     H, W = cfg.height, cfg.width
 
     if cfg.texture_filter not in ("bilinear", "trilinear"):
@@ -265,9 +293,9 @@ def render(
     tangent_vec0 = geo.safe_normalize(
         geo.cross(geo.cross(normal_vec0, direction), normal_vec0)
     )
-    u0 = 1.0 / geo.length(origin)
+    u0 = 1.0 / geo.safe_length(origin)
     dt0 = geo.dot(direction, tangent_vec0)
-    dt0 = jnp.where(jnp.abs(dt0) < 1e-20, 1e-20, dt0)
+    dt0 = jnp.where(jnp.abs(dt0) < 1e-12, 1e-12, dt0)  # see _march_step guard
     du0 = -u0 * geo.dot(direction, normal_vec0) / dt0
 
     state = MarchState(
@@ -284,9 +312,17 @@ def render(
         flat_finish=jnp.zeros(batch, bool),
         add_bg=jnp.zeros(batch, bool),
     )
+    return state, RenderContext(base=base, flat_px=flat_px, u0=u0, du0=du0,
+                                background=background, tex=tex)
 
-    if cfg.raytrace_type != cam_mod.FLAT:
-        state = _run_march(state, sc, cfg, r_s, tex, test_ray)
+
+def _finalize(state, ctx: RenderContext, sc, cfg, r_s, test_ray=None):
+    """Post-march composition: deferred flat pass, background, soft horizon
+    (frag:874-877, 894-907, 935)."""
+    f32 = jnp.float32
+    batch = state.u.shape
+    flat_px, u0, du0 = ctx.flat_px, ctx.u0, ctx.du0
+    background, tex = ctx.background, ctx.tex
 
     # Exhausted marchers get the background (frag:935).
     add_bg = state.add_bg | state.active
@@ -345,7 +381,7 @@ def render(
         color = color + jnp.where((flat_needs_bg | add_bg)[..., None], bg,
                                   jnp.zeros_like(bg))
 
-    return base + color
+    return ctx.base + color
 
 
 def _run_march(state, sc, cfg, r_s, tex, test_ray):

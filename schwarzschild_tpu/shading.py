@@ -94,9 +94,9 @@ def shade(
 
         # Plane texture tiling window (frag:387-400).
         plane_uv_src = rescaled_uv - hit.plane_tex_offset
-        plane_window_uv = plane_uv_src / jnp.maximum(hit.plane_tex_size, 1e-20)
+        plane_window_uv = plane_uv_src / jnp.maximum(hit.plane_tex_size, 1e-12)
         plane_tiled = jnp.mod(plane_uv_src, hit.plane_tex_size) / jnp.maximum(
-            hit.plane_tex_size, 1e-20
+            hit.plane_tex_size, 1e-12
         )
         in_window = (
             (plane_window_uv[..., 0] >= 0.0)
@@ -114,7 +114,7 @@ def shade(
             # same-object neighbors (the GL quad-helper-lane analog).
             cont_uv = jnp.where(
                 is_plane[..., None],
-                plane_uv_src / jnp.maximum(hit.plane_tex_size, 1e-20),
+                plane_uv_src / jnp.maximum(hit.plane_tex_size, 1e-12),
                 rescaled_uv)
             same_key = hit.obj_type * 65536 + mi
             lod = screen_space_lod(cont_uv[..., 0] * tex.max_size[0],

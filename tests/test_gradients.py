@@ -167,3 +167,50 @@ def test_checkpointing_matches_plain_scan():
     g1 = float(jax.grad(lambda r: st.render(sc, cam, cfg_ck, bg, tex, r_s=r).mean())(jnp.float32(1.0)))
     g2 = float(jax.grad(lambda r: st.render(sc, cam, cfg_plain, bg, tex, r_s=r).mean())(jnp.float32(1.0)))
     assert np.isclose(g1, g2, rtol=1e-4, atol=1e-7)
+
+
+def test_degenerate_lane_grads_finite_and_bounded():
+    """Guards sized for flush-to-zero hardware (TPU drops f32 denormals):
+    anything squared in reverse mode — division guards, atan2 inputs,
+    safe_length eps — must square to a NORMAL float.  Probes sit at the
+    degenerate points that poisoned round-1 TPU gradients; bounds (not just
+    finiteness) catch a regression to 1e-20-style guards even on CPU,
+    where denormals survive and the old code was merely astronomically
+    large rather than NaN."""
+    from schwarzschild_tpu import geometry as geo
+    from schwarzschild_tpu import intersect as isect
+
+    # atan2 pole / near-axis lanes: grad must be zeroed under the guard.
+    for x, z in [(0.0, 0.0), (1e-20, 1e-20), (1e-13, 1e-13)]:
+        g = jax.grad(lambda v: isect._phi_of(v[0], v[1]))(
+            jnp.asarray([x, z], jnp.float32))
+        g = np.asarray(g)
+        assert np.isfinite(g).all(), (x, z, g)
+        assert (np.abs(g) < 1e9).all(), (x, z, g)
+
+    # Exact axis hit through the disk frame: r_local's sqrt at 0 was a CPU
+    # NaN too (inf * 0) before safe_length.
+    pos = jnp.zeros(3, jnp.float32)
+    axes = jnp.eye(3, dtype=jnp.float32)
+
+    def frame_sum(point):
+        phi, r_local, tangent, bitangent, _ = isect._radial_frame(
+            pos, axes, point, 3.0)
+        return phi + r_local + tangent.sum() + bitangent.sum()
+
+    for p in [(0.0, 0.0, 0.0), (1e-20, 0.0, 1e-20), (1e-13, 0.0, 1e-13)]:
+        g = np.asarray(jax.grad(frame_sum)(jnp.asarray(p, jnp.float32)))
+        assert np.isfinite(g).all(), (p, g)
+        # _safe_normalize legitimately reaches ~1/sqrt(eps) = 1e10 at the
+        # exact pole; anything past 1e12 means a squared-guard regression.
+        assert (np.abs(g) < 1e12).all(), (p, g)
+
+    # safe_length at the zero vector.
+    g = np.asarray(jax.grad(lambda v: geo.safe_length(v))(jnp.zeros(3)))
+    assert np.isfinite(g).all()
+
+    # _safe_div guard: 1/guard must stay well under f32 overflow when
+    # multiplied by ordinary cotangents.
+    g = np.asarray(jax.grad(lambda a: isect._safe_div(a, jnp.float32(0.0)))(
+        jnp.float32(1.0)))
+    assert np.isfinite(g) and abs(g) < 1e13
