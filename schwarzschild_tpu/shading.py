@@ -37,6 +37,18 @@ def _gather(soa_field, idx):
     return soa_field[idx]
 
 
+def _concrete_none_negative(idx) -> bool:
+    """True iff ``idx`` is available at trace time AND every entry is < 0
+    (e.g. 'no material uses a normal map').  Traced arrays return False —
+    the caller must then do the work dynamically."""
+    try:
+        import numpy as np
+
+        return bool((np.asarray(idx) < 0).all())
+    except Exception:
+        return False
+
+
 def shade(
     hit: Hit,
     view_dir,
@@ -129,29 +141,35 @@ def shade(
         base_color = jnp.where(use_tex[..., None], sampled, color)
 
         # Normal map (frag:408-413): note the reference uses the RAW rgb in
-        # [0,1] (no *2-1 decode) — reproduced faithfully.
-        nm_sizes = _gather(
-            tex.sizes, jnp.clip(normal_map_index, 0, tex.sizes.shape[0] - 1)
-        )
-        nm_uv = uv * nm_sizes / tex.max_size
-        if use_mips:
-            nm_lod = screen_space_lod(nm_uv[..., 0] * tex.max_size[0],
-                                      nm_uv[..., 1] * tex.max_size[1],
-                                      valid=hit.valid,
-                                      key=hit.obj_type * 65536 + mi)
-            nm_rgb = sample_stack_trilinear(
-                tex, normal_map_index, nm_uv[..., 0], nm_uv[..., 1],
-                nm_lod)[..., :3]
-        else:
-            nm_rgb = sample_stack(tex, normal_map_index, nm_uv[..., 0],
-                                  nm_uv[..., 1])[..., :3]
-        ts_normal = (
-            nm_rgb[..., 0:1] * hit.tangent
-            + nm_rgb[..., 1:2] * hit.bitangent
-            + nm_rgb[..., 2:3] * normal
-        )
-        mapped = geo.safe_normalize(ts_normal)
-        normal = jnp.where((normal_map_index >= 0)[..., None], mapped, normal)
+        # [0,1] (no *2-1 decode) — reproduced faithfully.  When the material
+        # table is concrete (sc closed over, the common case) and no material
+        # has a normal map, skip the gathers entirely — TPU gathers are the
+        # expensive part of this pass.
+        if not _concrete_none_negative(m.normal_map_index):
+            nm_sizes = _gather(
+                tex.sizes, jnp.clip(normal_map_index, 0, tex.sizes.shape[0] - 1)
+            )
+            nm_uv = uv * nm_sizes / tex.max_size
+            if use_mips:
+                nm_lod = screen_space_lod(nm_uv[..., 0] * tex.max_size[0],
+                                          nm_uv[..., 1] * tex.max_size[1],
+                                          valid=hit.valid,
+                                          key=hit.obj_type * 65536 + mi)
+                nm_rgb = sample_stack_trilinear(
+                    tex, normal_map_index, nm_uv[..., 0], nm_uv[..., 1],
+                    nm_lod)[..., :3]
+            else:
+                nm_rgb = sample_stack(tex, normal_map_index, nm_uv[..., 0],
+                                      nm_uv[..., 1])[..., :3]
+            ts_normal = (
+                nm_rgb[..., 0:1] * hit.tangent
+                + nm_rgb[..., 1:2] * hit.bitangent
+                + nm_rgb[..., 2:3] * normal
+            )
+            mapped = geo.safe_normalize(ts_normal)
+            normal = jnp.where(
+                (normal_map_index >= 0)[..., None], mapped, normal
+            )
 
     final_rgb = ambient[..., None] * base_color[..., :3]  # frag:406
 
