@@ -194,3 +194,49 @@ def test_trilinear_texture_gradients_flow():
     g = np.asarray(jax.grad(loss)(data))
     assert np.isfinite(g).all()
     assert (g != 0).any()
+
+
+def test_shade_skips_normal_map_gathers_when_table_has_none():
+    """When the (concrete) material table has no normal maps, shade() must
+    not emit the normal-map texture gathers at all — render parity AND a
+    strictly smaller jaxpr than the same scene with a normal map."""
+    import schwarzschild_tpu as st
+    from schwarzschild_tpu import configs
+    from schwarzschild_tpu.intersect import intersect_scene
+    from schwarzschild_tpu.shading import shade
+
+    sc = configs.demo_scene()
+    tex = configs.demo_texture_stack()
+    # Same scene with every normal map removed.
+    mats_nonm = sc.materials._replace(
+        normal_map_index=jnp.full_like(sc.materials.normal_map_index, -1))
+    sc_nonm = sc._replace(materials=mats_nonm)
+
+    origin = jnp.tile(jnp.asarray([[0.0, 1.0, 12.0]], jnp.float32), (64, 1))
+    t = jnp.linspace(-0.3, 0.3, 64)
+    direction = jnp.stack(
+        [t, -0.08 * jnp.ones_like(t), -jnp.ones_like(t)], axis=-1)
+    direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    window = jnp.full((64,), -1.0, jnp.float32)
+
+    def rgba(scene):
+        hit = intersect_scene(origin, direction, window, scene, 1.0)
+        return shade(hit, -direction, scene, tex)
+
+    jx_nm = str(jax.make_jaxpr(lambda: rgba(sc))())
+    jx_nonm = str(jax.make_jaxpr(lambda: rgba(sc_nonm))())
+    assert jx_nonm.count("gather") < jx_nm.count("gather")
+
+    # Parity: gating must not change the image for a no-normal-map scene
+    # (mapped-normal lanes only exist when the table has an entry >= 0).
+    # Force the ungated path by stubbing the concreteness probe.
+    import schwarzschild_tpu.shading as sh
+
+    gated = np.asarray(rgba(sc_nonm))
+    orig = sh._concrete_none_negative
+    sh._concrete_none_negative = lambda idx: False
+    try:
+        ungated = np.asarray(rgba(sc_nonm))
+    finally:
+        sh._concrete_none_negative = orig
+    np.testing.assert_array_equal(gated, ungated)
