@@ -800,64 +800,95 @@ def render_fast(
 
     # Slot shading: re-intersect each recorded segment with the full jnp
     # machinery and compose additively with the first-opaque cutoff.
+    #
+    # The far-field/flat ray (flat pixels + STATUS_FLAT_FINISH far-field
+    # continuations, an unbounded straight intersect — frag:905-918's
+    # far-field rule) FOLDS into each lane's first free recording slot
+    # instead of running as a separate full-batch pass: the per-lane slot
+    # order is preserved (recorded hits occupy slots [0, n_rec); the far ray
+    # rides slot n_rec, which the loop reaches after every recorded hit), so
+    # first-opaque compositing is unchanged while one full intersect+shade
+    # pass disappears.  Lanes with ALL slots recorded AND a far ray (has to
+    # cross > n_slots translucent surfaces) take a rare lax.cond residual
+    # pass, keeping exact render() parity.
     from .scene import OBJECT_TYPE_SPECIAL
 
-    color = jnp.zeros(batch + (4,), f32)
-    open_ = march_px  # still accumulating (no opaque hit yet)
-    captured_shaded = jnp.zeros(batch, bool)  # first opaque hit was the BH
-    for start, sdir, slen in slots:
-        rec = slen > 0.0
+    use_pos = jnp.where(flat_px[..., None], origin, fpos)
+    use_dir = jnp.where(flat_px[..., None], direction, fdir)
+    far_finish = march_px & (status == STATUS_FLAT_FINISH)
+    needs_far = flat_px | far_finish
 
-        def slot_pass(ops):
-            start, sdir, slen, rec = ops
+    color = jnp.zeros(batch + (4,), f32)
+    # Lanes still accumulating (no opaque hit yet).  Flat pixels participate:
+    # their far ray is folded into slot 0 (they record nothing in the kernel).
+    open_ = march_px | flat_px
+    captured_shaded = jnp.zeros(batch, bool)  # first opaque hit was the BH
+    recs = [slen > 0.0 for _, _, slen in slots]
+    # Index of each lane's first free slot == number of recorded slots
+    # (the kernel fills slots in order).
+    n_rec = sum((r.astype(jnp.int32) for r in recs),
+                jnp.zeros(batch, jnp.int32))
+
+    def make_pass(start, sdir, slen, rec, fold):
+        def run(_):
             # Unrecorded lanes carry zero vectors; their results are masked
             # out by ``rec`` below, but a zero direction sends NaNs through
             # the BACKWARD pass of intersect/shade (0*inf through the where),
-            # so substitute a harmless unit ray first.
-            safe_dir = jnp.where(rec[..., None], sdir,
-                                 jnp.array([1.0, 0.0, 0.0], f32))
+            # so substitute a harmless unit ray first.  Folded lanes shoot
+            # the unbounded far ray (window -1).
+            safe_dir = jnp.where(fold[..., None], use_dir,
+                                 jnp.where(rec[..., None], sdir,
+                                           jnp.array([1.0, 0.0, 0.0], f32)))
+            safe_start = jnp.where(fold[..., None], use_pos, start)
             # Inflate the window slightly: the kernel's f32 lambda and the
             # jnp recomputation differ by ~1 ulp, and a recorded hit must not
             # fall off the end of its own segment.
-            window = jnp.where(rec, slen * 1.0001 + 1e-5, 1.0)
-            hit = intersect_scene(start, safe_dir, window, sc, r_s,
+            window = jnp.where(fold, -1.0,
+                               jnp.where(rec, slen * 1.0001 + 1e-5, 1.0))
+            hit = intersect_scene(safe_start, safe_dir, window, sc, r_s,
                                   test_ray=test_ray)
             rgba = shade(hit, -safe_dir, sc, tex, trilinear=trilinear)
             return rgba, hit.valid, hit.obj_type == OBJECT_TYPE_SPECIAL
 
-        def empty_pass(ops):
+        def empty(_):
             return (jnp.zeros(batch + (4,), f32), jnp.zeros(batch, bool),
                     jnp.zeros(batch, bool))
 
-        # Runtime-skip slots nobody filled (typically slots 2+): lax.cond
-        # executes one branch only under jit.
-        rgba, hvalid, is_bh = jax.lax.cond(jnp.any(rec), slot_pass, empty_pass,
-                                           (start, sdir, slen, rec))
-        take = rec & open_ & hvalid
+        return run, empty
+
+    zeros3 = jnp.zeros(batch + (3,), f32)
+    for k, ((start, sdir, slen), rec) in enumerate(zip(slots, recs)):
+        fold_k = needs_far & (n_rec == k)
+        eff = rec | fold_k
+        run, empty = make_pass(start, sdir, slen, rec, fold_k)
+        # Runtime-skip slots nobody filled or folded into: lax.cond executes
+        # one branch only under jit.
+        rgba, hvalid, is_bh = jax.lax.cond(jnp.any(eff), run, empty, None)
+        take = eff & open_ & hvalid
         opaque_take = take & (rgba[..., 3] == 1.0)
         color = color + jnp.where(take[..., None], rgba, 0.0)
         captured_shaded = captured_shaded | (opaque_take & is_bh)
         open_ = open_ & ~opaque_take
 
-    # Flat pixels + far-field flat finishers: one unbounded intersect.
-    # The kernel marches on past opaque hits (it cannot evaluate opacity), so
-    # a FLAT_FINISH status only counts if no earlier slot was opaque (open_).
-    flat_mask = flat_px | ((status == STATUS_FLAT_FINISH) & open_)
-    use_pos = jnp.where(flat_px[..., None], origin, fpos)
-    use_dir = jnp.where(flat_px[..., None], direction, fdir)
-    flat_hit = intersect_scene(use_pos, use_dir, jnp.full(batch, -1.0, f32),
-                               sc, r_s, test_ray=test_ray)
-    flat_rgba = shade(flat_hit, -use_dir, sc, tex, trilinear=trilinear)
-    flat_take = flat_mask & flat_hit.valid
-    color = color + jnp.where(flat_take[..., None], flat_rgba, 0.0)
-    flat_needs_bg = flat_mask & (jnp.where(flat_take, flat_rgba[..., 3], 0.0) != 1.0)
+    # Residual far rays: every slot recorded AND far-field continuation
+    # (rare: > n_slots translucent crossings + far exit), or FLAT mode where
+    # there are no slots at all to fold into.
+    residual = needs_far & (n_rec >= len(slots))
+    run, empty = make_pass(zeros3, zeros3, jnp.zeros(batch, f32),
+                           jnp.zeros(batch, bool), residual)
+    rgba, hvalid, is_bh = jax.lax.cond(jnp.any(residual), run, empty, None)
+    take = residual & open_ & hvalid
+    opaque_take = take & (rgba[..., 3] == 1.0)
+    color = color + jnp.where(take[..., None], rgba, 0.0)
+    captured_shaded = captured_shaded | (opaque_take & is_bh)
+    open_ = open_ & ~opaque_take
 
-    # Background: march rays that never found an opaque hit (escaped,
-    # exhausted — not captured: capture is opaque black even when its slot was
-    # dropped by overflow, so excluding STATUS_CAPTURED here keeps the shadow
-    # opaque instead of leaking sky through it).
-    march_bg = (march_px & open_ & (status != STATUS_FLAT_FINISH)
-                & (status != STATUS_CAPTURED))
+    # Background: every lane still open shows the sky — except captured rays
+    # (capture is opaque black even when its slot was dropped by overflow,
+    # so excluding STATUS_CAPTURED keeps the shadow opaque instead of leaking
+    # sky through it).
+    march_bg = open_ & (flat_px
+                        | (march_px & (status != STATUS_CAPTURED)))
     bg = get_background(background, use_dir, trilinear=trilinear)
 
     if cfg.horizon_softness > 0.0:
@@ -878,21 +909,20 @@ def render_fast(
         b_flat = geo.safe_length(geo.cross(use_pos, use_dir))
         alpha_curved = jax.nn.sigmoid((b_crit - b_geo) / s_soft)
         alpha_flat = jax.nn.sigmoid((r_s - b_flat) / s_soft)
-        alpha_sh = jnp.where(flat_mask, alpha_flat, alpha_curved)
+        # Straight rays (flat pixels + far-field continuations) use the flat
+        # impact parameter; marched rays the conserved geodesic one.
+        alpha_sh = jnp.where(needs_far, alpha_flat, alpha_curved)
         bg_scale = (1.0 - alpha_sh)[..., None]
 
-        flat_captured = (flat_hit.valid & flat_mask
-                         & (flat_hit.obj_type == OBJECT_TYPE_SPECIAL)
-                         & (flat_rgba[..., 3] == 1.0))
-        # Dropped capture slots (overflow) leave open_ true with status
-        # CAPTURED — they still count as captured here.
-        captured_m = (captured_shaded | flat_captured
-                      | ((status == STATUS_CAPTURED) & open_))
-        bg_mask = march_bg | flat_needs_bg | captured_m
+        # BH hits through the folded far passes already landed in
+        # captured_shaded; dropped capture slots (overflow) leave open_ true
+        # with status CAPTURED — they still count as captured here.
+        captured_m = (captured_shaded
+                      | (march_px & (status == STATUS_CAPTURED) & open_))
+        bg_mask = march_bg | captured_m
         color = color + jnp.where(bg_mask[..., None], bg * bg_scale, 0.0)
     else:
-        color = color + jnp.where((march_bg | flat_needs_bg)[..., None], bg,
-                                  0.0)
+        color = color + jnp.where(march_bg[..., None], bg, 0.0)
 
     img = base + color
     if overflow == "ignore":

@@ -33,8 +33,22 @@ TEST_RAY_CURVED_COLOR = (1.0, 0.0, 0.0, 1.0)  # frag:191
 TEST_RAY_FLAT_COLOR = (0.0, 1.0, 0.0, 1.0)  # frag:192
 
 
-def _gather(soa_field, idx):
-    return soa_field[idx]
+def _gather(soa_field, idx, _max_select=16):
+    """Per-lane table lookup.  TPU HLO gathers are per-index latency-bound
+    (the dominant cost of the shading pass in round 2 profiling); for the
+    small tables here (materials, texture sizes) an unrolled select chain
+    fuses into one elementwise pass and is exact for every dtype.  Large
+    tables fall back to a real gather."""
+    n = soa_field.shape[0]
+    if n > _max_select:
+        return soa_field[idx]
+    out = jnp.broadcast_to(soa_field[0], idx.shape + soa_field.shape[1:])
+    for j in range(1, n):
+        sel = idx == j
+        if soa_field.ndim > 1:
+            sel = sel[..., None]
+        out = jnp.where(sel, soa_field[j], out)
+    return out
 
 
 def _concrete_none_negative(idx) -> bool:

@@ -205,12 +205,12 @@ def test_shade_skips_normal_map_gathers_when_table_has_none():
     from schwarzschild_tpu.intersect import intersect_scene
     from schwarzschild_tpu.shading import shade
 
-    sc = configs.demo_scene()
+    sc_nonm = configs.demo_scene()  # demo materials carry no normal maps
     tex = configs.demo_texture_stack()
-    # Same scene with every normal map removed.
-    mats_nonm = sc.materials._replace(
-        normal_map_index=jnp.full_like(sc.materials.normal_map_index, -1))
-    sc_nonm = sc._replace(materials=mats_nonm)
+    # Same scene with a normal map forced onto every material.
+    mats_nm = sc_nonm.materials._replace(
+        normal_map_index=jnp.zeros_like(sc_nonm.materials.normal_map_index))
+    sc = sc_nonm._replace(materials=mats_nm)
 
     origin = jnp.tile(jnp.asarray([[0.0, 1.0, 12.0]], jnp.float32), (64, 1))
     t = jnp.linspace(-0.3, 0.3, 64)
@@ -223,9 +223,21 @@ def test_shade_skips_normal_map_gathers_when_table_has_none():
         hit = intersect_scene(origin, direction, window, scene, 1.0)
         return shade(hit, -direction, scene, tex)
 
-    jx_nm = str(jax.make_jaxpr(lambda: rgba(sc))())
-    jx_nonm = str(jax.make_jaxpr(lambda: rgba(sc_nonm))())
-    assert jx_nonm.count("gather") < jx_nm.count("gather")
+    def count_gathers(jaxpr):
+        n = 0
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "gather":
+                n += 1
+            for v in eqn.params.values():
+                for sub in jax.tree_util.tree_leaves(
+                        v, is_leaf=lambda x: hasattr(x, "jaxpr")):
+                    if hasattr(sub, "jaxpr"):
+                        n += count_gathers(sub.jaxpr)
+        return n
+
+    n_nm = count_gathers(jax.make_jaxpr(lambda: rgba(sc))().jaxpr)
+    n_nonm = count_gathers(jax.make_jaxpr(lambda: rgba(sc_nonm))().jaxpr)
+    assert n_nonm < n_nm, (n_nonm, n_nm)
 
     # Parity: gating must not change the image for a no-normal-map scene
     # (mapped-normal lanes only exist when the table has an entry >= 0).
