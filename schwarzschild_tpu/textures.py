@@ -135,28 +135,29 @@ def _wrap_pad(data):
 def _patch_gather(padded, y0i, x0i, layer=None):
     """Fetch the 2x2x4 bilinear footprint at (y0, x0) with a single
     lax.gather (one index vector per lane instead of four separate gathers —
-    TPU gathers are per-index latency-bound, so this is ~4x cheaper than the
-    naive four-corner fetch).  ``padded`` is (H+1, W+1, 4) from
+    TPU gathers are per-index latency-bound, so this is ~3-4x cheaper than
+    the naive four-corner fetch).  ``padded`` is (H+1, W+1, 4) from
     :func:`_wrap_pad`, or (T, H+1, W+1, 4) with ``layer`` indexing the stack
-    axis.  Returns (..., 2, 2, 4) = [y, x] corners."""
+    axis.  Returns (..., 2, 2, 4) = [y, x] corners.
+
+    Always emits the LAYERED gather form — 3 index components with the
+    leading slice dim collapsed — adding a size-1 layer axis when the input
+    has none: XLA:TPU lowers that form to a fast vectorized fetch (6.9 ms
+    for 512^2 lanes on a 1601x1201 stack on v5e), while the rank-3 2-index
+    form hits a pathological serialized path (539 ms for the same work on a
+    2k background — 22x WORSE than four separate corner gathers)."""
     batch = y0i.shape
     if layer is None:
-        idx = jnp.stack([y0i, x0i], axis=-1).reshape(-1, 2)
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
-            start_index_map=(0, 1))
-        out = jax.lax.gather(
-            padded, idx, dnums, slice_sizes=(2, 2, 4),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-    else:
-        idx = jnp.stack(
-            [jnp.broadcast_to(layer, batch), y0i, x0i], axis=-1).reshape(-1, 3)
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
-            start_index_map=(0, 1, 2))
-        out = jax.lax.gather(
-            padded, idx, dnums, slice_sizes=(1, 2, 2, 4),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        padded = padded[None]
+        layer = jnp.zeros(batch, jnp.int32)
+    idx = jnp.stack(
+        [jnp.broadcast_to(layer, batch), y0i, x0i], axis=-1).reshape(-1, 3)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2))
+    out = jax.lax.gather(
+        padded, idx, dnums, slice_sizes=(1, 2, 2, 4),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
     return out.reshape(batch + (2, 2, 4))
 
 
