@@ -279,3 +279,50 @@ def test_overflow_capture_stays_black():
     # Captured pixels in the overflowing render match the exact render (the
     # shadow is black either way — dropped capture slots change nothing).
     np.testing.assert_allclose(img[cap], ref[cap], atol=1e-6)
+
+
+def test_residual_far_pass_when_all_slots_full():
+    """Lanes whose recording slots are ALL full and that still exit to the
+    far field take the rare residual lax.cond pass (the folded far ray has
+    no free slot to ride).  Build that case deliberately: two translucent
+    full-frustum rectangles in the march region, n_slots=2 — every escaped
+    ray records both crossings and then needs the far-field straight
+    continuation, so the residual pass paints the background/far scene."""
+    from schwarzschild_tpu.scene import (Light, Material, Rectangle,
+                                         build_scene)
+    from schwarzschild_tpu.kernel_scene import STATUS_FLAT_FINISH, march_scene
+    from schwarzschild_tpu import camera as cam_mod
+
+    glass = Material(color=(0.8, 0.2, 0.2, 0.4))
+    sc = build_scene(
+        [Rectangle(pos=(0.0, 0.0, 8.0), width=40.0, height=40.0,
+                   material=glass),
+         Rectangle(pos=(0.0, 1.0, 5.0), width=40.0, height=40.0,
+                   material=glass)],
+        [Light(intensity=8.0)])
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+    cfg = st.RenderConfig(width=32, height=24, percent_black=-1.0)
+
+    # Sanity: full-slot far-field lanes actually exist in this scene.
+    u_ndc, v_ndc = cam_mod.pixel_grid(cfg.width, cfg.height)
+    origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc,
+                                              cfg.width, cfg.height)
+    active = np.ones((cfg.height, cfg.width), bool)
+    _, _, status, slots, _ = march_scene(origin, direction, active, 1.0, sc,
+                                         cfg, n_slots=2, interpret=True)
+    full = np.ones((cfg.height, cfg.width), bool)
+    for _, _, slen in slots:
+        full &= np.asarray(slen) > 0.0
+    residual_lanes = full & (np.asarray(status) == STATUS_FLAT_FINISH)
+    assert residual_lanes.sum() > 50, residual_lanes.sum()
+
+    ref = np.asarray(JR(sc, cam, cfg, bg, None, 1.0))
+    fast = np.asarray(render_fast(sc, cam, cfg, bg, None, 1.0, n_slots=2,
+                                  interpret=True, overflow="ignore"))
+    d = np.abs(ref - fast).max(-1)
+    ok = (d < 2e-3).mean()
+    assert ok > 0.99, f"only {ok:.4f} within tol, max {d.max():.3g}"
+    # And specifically on the residual lanes themselves.
+    ok_res = (d[residual_lanes] < 2e-3).mean()
+    assert ok_res > 0.98, f"residual lanes: {ok_res:.4f}, max {d[residual_lanes].max():.3g}"
