@@ -54,6 +54,11 @@ STATUS_MARCHING = 0.0
 STATUS_CAPTURED = 1.0
 STATUS_ESCAPED = 2.0
 STATUS_FLAT_FINISH = 3.0
+# The segment's closest hit was a provably-opaque primitive: the march
+# stopped there (the reference's first-opaque break, frag:930-932, pulled
+# into the kernel for primitives whose opacity is knowable without
+# sampling textures — see _opaque_flags).
+STATUS_HIT_OPAQUE = 4.0
 
 _EPS = 1e-7
 
@@ -715,6 +720,7 @@ def render_fast(
     mesh=None,
     differentiable: bool = False,
     test_ray=None,
+    skip_empty_slots: bool = False,
 ) -> jnp.ndarray:
     """Full-featured fast renderer: Pallas march + K-slot jnp shading.
 
@@ -727,7 +733,10 @@ def render_fast(
 
     ``overflow`` controls slot-overflow detection (rays crossing more than
     ``n_slots`` translucent hits drop the extras — the documented deviation):
-      * "warn": jax.debug.print when any ray overflowed (default);
+      * "warn": jax.debug.print when any ray overflowed (default); on
+        backends without host callbacks (the axon TPU tunnel) this degrades
+        to a host-side warning for eager calls and silence under jit —
+        prefer "return" there;
       * "return": return (image, n_overflowed) so callers can re-render with
         more slots;
       * "ignore": the round-1 silent behavior.
@@ -856,14 +865,27 @@ def render_fast(
 
         return run, empty
 
+    def maybe_pass(eff, run, empty):
+        # skip_empty_slots=True runtime-skips slots nobody filled or folded
+        # into (lax.cond executes one branch only under jit).  Default OFF:
+        # on TPU a cond branch receives the texture stack as a branch
+        # OPERAND, which knocks the bilinear patch gather off XLA's fast
+        # constant-operand path (~17 ms vs ~7.5 ms per 512^2 pass on v5e) —
+        # a cond that FIRES costs 2.3x an unconditional pass, and even one
+        # recorded lane fires it.  Measured on the demo scene: inline 41 ms
+        # vs cond 79 ms per 512^2 frame, bit-identical images.  Turn it on
+        # only when trailing slots are usually COMPLETELY empty and the
+        # occasional slow frame is acceptable.
+        if skip_empty_slots:
+            return jax.lax.cond(jnp.any(eff), run, empty, None)
+        return run(None)
+
     zeros3 = jnp.zeros(batch + (3,), f32)
     for k, ((start, sdir, slen), rec) in enumerate(zip(slots, recs)):
         fold_k = needs_far & (n_rec == k)
         eff = rec | fold_k
         run, empty = make_pass(start, sdir, slen, rec, fold_k)
-        # Runtime-skip slots nobody filled or folded into: lax.cond executes
-        # one branch only under jit.
-        rgba, hvalid, is_bh = jax.lax.cond(jnp.any(eff), run, empty, None)
+        rgba, hvalid, is_bh = maybe_pass(eff, run, empty)
         take = eff & open_ & hvalid
         opaque_take = take & (rgba[..., 3] == 1.0)
         color = color + jnp.where(take[..., None], rgba, 0.0)
@@ -876,7 +898,15 @@ def render_fast(
     residual = needs_far & (n_rec >= len(slots))
     run, empty = make_pass(zeros3, zeros3, jnp.zeros(batch, f32),
                            jnp.zeros(batch, bool), residual)
-    rgba, hvalid, is_bh = jax.lax.cond(jnp.any(residual), run, empty, None)
+    if cfg.raytrace_type == cam_mod.FLAT or (not slots):
+        # FLAT mode has no recording slots: the "residual" pass IS the whole
+        # render — run it inline (a fired cond pays the slow-gather path).
+        rgba, hvalid, is_bh = run(None)
+    else:
+        # Curved modes: residual is RARE by construction (every slot full +
+        # far-field exit) — cond-skip it even with skip_empty_slots=False.
+        rgba, hvalid, is_bh = jax.lax.cond(jnp.any(residual), run, empty,
+                                           None)
     take = residual & open_ & hvalid
     opaque_take = take & (rgba[..., 3] == 1.0)
     color = color + jnp.where(take[..., None], rgba, 0.0)
@@ -931,11 +961,28 @@ def render_fast(
     if overflow == "return":
         return img, n_over
     if overflow == "warn":
-        def _warn(n):
-            jax.debug.print(
-                "render_fast: {n} rays exceeded n_slots={k} recording slots "
-                "(extra translucent hits dropped; raise n_slots)",
-                n=n, k=n_slots)
-        jax.lax.cond(n_over > 0, _warn, lambda n: None, n_over)
+        from .profiling import host_callbacks_supported
+
+        if host_callbacks_supported():
+            def _warn(n):
+                jax.debug.print(
+                    "render_fast: {n} rays exceeded n_slots={k} recording "
+                    "slots (extra translucent hits dropped; raise n_slots)",
+                    n=n, k=n_slots)
+            jax.lax.cond(n_over > 0, _warn, lambda n: None, n_over)
+        elif not isinstance(n_over, jax.core.Tracer):
+            # Backend without host callbacks (e.g. the axon TPU tunnel,
+            # where an embedded debug.print CRASHES the whole computation
+            # at run time): warn host-side when called eagerly; under jit
+            # the count is a tracer and the warning is skipped — use
+            # overflow="return" there to observe it.
+            import warnings
+
+            n = int(n_over)
+            if n:
+                warnings.warn(
+                    f"render_fast: {n} rays exceeded n_slots={n_slots} "
+                    "recording slots (extra translucent hits dropped; "
+                    "raise n_slots)")
         return img
     raise ValueError(f"unknown overflow mode {overflow!r}")

@@ -68,6 +68,31 @@ def device_time(thunk, chains=(2, 8), trials=3):
     return (totals[1] - totals[0]) / (chains[1] - chains[0])
 
 
+_HOST_CALLBACKS_SUPPORTED = None
+
+
+def host_callbacks_supported() -> bool:
+    """Whether the default backend can run host callbacks
+    (``jax.debug.print`` / ``io_callback``).
+
+    Some PJRT plugins cannot (e.g. the tunneled axon TPU backend raises
+    ``UNIMPLEMENTED: axon_pjrt does not support host send/recv callbacks``
+    at RUN time, crashing whatever computation embedded the print).  Probed
+    once by executing a tiny jitted debug.print and caching the outcome, so
+    callers can fall back to callback-free behavior.
+    """
+    global _HOST_CALLBACKS_SUPPORTED
+    if _HOST_CALLBACKS_SUPPORTED is None:
+        try:
+            jax.jit(lambda x: jax.debug.print("", ordered=False) or x)(
+                jnp.float32(0.0)).block_until_ready()
+            jax.effects_barrier()
+            _HOST_CALLBACKS_SUPPORTED = True
+        except Exception:
+            _HOST_CALLBACKS_SUPPORTED = False
+    return _HOST_CALLBACKS_SUPPORTED
+
+
 @contextlib.contextmanager
 def debug_mode():
     """NaN checking + strict rank promotion for the enclosed block."""

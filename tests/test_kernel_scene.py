@@ -326,3 +326,49 @@ def test_residual_far_pass_when_all_slots_full():
     # And specifically on the residual lanes themselves.
     ok_res = (d[residual_lanes] < 2e-3).mean()
     assert ok_res > 0.98, f"residual lanes: {ok_res:.4f}, max {d[residual_lanes].max():.3g}"
+
+
+def test_skip_empty_slots_equal():
+    """The inline (default) and lax.cond-gated slot compositions agree —
+    the cond gating is a pure scheduling choice (it exists because a FIRED
+    cond pays the slow non-constant-operand gather path on TPU; see
+    maybe_pass in render_fast).  Moving a pass in/out of a cond changes XLA
+    fusion (FMA contraction), which can flip knife-edge hit tests — so the
+    comparison is the usual fraction-within-tolerance, like kernel-vs-jnp
+    parity."""
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    cfg = st.RenderConfig(width=48, height=32, percent_black=-1.0)
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    a = np.asarray(render_fast(sc, cam, cfg, bg, tex, 1.0, interpret=True,
+                               skip_empty_slots=False))
+    b = np.asarray(render_fast(sc, cam, cfg, bg, tex, 1.0, interpret=True,
+                               skip_empty_slots=True))
+    d = np.abs(a - b).max(-1)
+    assert (d < 2e-3).mean() > 0.999, f"max {d.max():.3g}"
+    assert d.max() < 0.5, f"max {d.max():.3g}"
+
+
+def test_overflow_warn_eager_no_callback(monkeypatch):
+    """overflow='warn' must not crash on backends without host callbacks
+    (the axon TPU tunnel rejects jax.debug.print at RUN time): it degrades
+    to a host-side warnings.warn for eager calls."""
+    import warnings
+    from schwarzschild_tpu import profiling
+
+    monkeypatch.setattr(profiling, "_HOST_CALLBACKS_SUPPORTED", False)
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    cfg = st.RenderConfig(width=24, height=16, percent_black=-1.0)
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    # n_slots=1 overflows on the demo scene (see
+    # test_slot_overflow_detected) -> expect a warning, not a crash.
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        img = render_fast(sc, cam, cfg, bg, tex, 1.0, n_slots=1,
+                          interpret=True, overflow="warn")
+    assert np.isfinite(np.asarray(img)).all()
+    assert any("recording slots" in str(x.message) for x in w), (
+        [str(x.message) for x in w])
