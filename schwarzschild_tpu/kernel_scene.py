@@ -111,22 +111,96 @@ def _test_ray_cylinder_rows(test_ray, r_s, radius=0.025,
     return jnp.concatenate([flat, curved], axis=0)
 
 
-def _pack_scene_smem(sc: Scene, test_ray=None, r_s=1.0):
+def _opaque_flags(sc: Scene, tex):
+    """Per-primitive "provably opaque at EVERY sample" flags, or None.
+
+    A hit on such a primitive always shades alpha == 1, so the march can
+    stop there — the reference's first-opaque break (frag:930-932) pulled
+    into the kernel.  Provable without sampling (mirrors shade()):
+
+      * material color alpha == 1 (the no-texture and plane-outside-window
+        fallback, shade()'s ``base_color``), AND
+      * no texture, or the texture's min alpha over its ENTIRE PADDED layer
+        == 1.  The whole layer, not just the true region: bilinear samples
+        at the true-region edge blend the zero-alpha PADDING texels
+        (reference-faithful stack padding, image_utils.cpp:89-98), and mip
+        levels of a padded layer inherit that pollution — so a texture
+        smaller than the stack max is never provably opaque, while a
+        full-size all-opaque one is (its mips box-filter alpha==1 to
+        alpha==1).  AND
+      * double-sided normals (a culled backface shades TRANSPARENT black,
+        shade()'s ``culled`` — frag:372 — so single-sided is never provable).
+
+    Needs CONCRETE materials/texture data: when either is traced (e.g.
+    inverse rendering optimizing texels), returns None and the march keeps
+    the record-and-continue behavior.
+    """
+    try:
+        m = sc.materials
+        color_a = np.asarray(m.color)[:, 3]
+        tex_idx = np.asarray(m.texture_index)
+        dbl = np.asarray(m.double_sided_normals)
+        if tex is not None:
+            # Min over the WHOLE padded layer (see docstring: edge samples
+            # and mips blend the padding).
+            tmin = np.asarray(tex.data)[..., 3].min(axis=(1, 2))
+        else:
+            tmin = None
+        def mat_opaque(mat_idx):
+            mi = np.asarray(mat_idx).astype(int)
+            if mi.size == 0:
+                return np.zeros(0, np.float32)
+            mi = np.clip(mi, 0, color_a.shape[0] - 1)
+            # EXACTLY 1: the first-opaque break tests rgba.a == 1.0
+            # (frag:931), so alpha > 1 keeps accumulating in the reference.
+            # Exact 1s survive the samplers exactly (lerps of equal
+            # endpoints and box-filter means of 1s are 1 in f32).
+            a_ok = color_a[mi] == 1.0
+            ti = tex_idx[mi]
+            if tmin is None:
+                t_ok = ti < 0
+            else:
+                t_ok = (ti < 0) | (tmin[np.clip(ti, 0, len(tmin) - 1)] == 1.0)
+            return (a_ok & t_ok & dbl[mi]).astype(np.float32)
+
+        flags = {name: mat_opaque(getattr(sc, name).mat_idx)
+                 for name in ("spheres", "planes", "disks", "hollow_disks",
+                              "cylinders", "rectangles")}
+        flags["boxes"] = np.repeat(mat_opaque(sc.boxes.mat_idx), 6)
+        return flags
+    except Exception:  # traced scene / texture — nothing provable
+        return None
+
+
+def _pack_scene_smem(sc: Scene, test_ray=None, r_s=1.0, tex=None):
     """Scene -> dict of f32 SMEM tables for the kernel.
 
-    planes: (N,6)  [pos, normal]
-    disks: (N,7)   [pos, normal, radius^2]
-    hollow: (N,8)  [pos, normal, inner^2, outer^2]
-    spheres: (N,4) [pos, radius]
-    cylinders: (N,14) [pos, axes(cols flat), height, radius]
-    rects: (N,12) [pos, ax0, normal(ax1), ax2] + (N,2) [w,h] merged -> (N,14)
-    boxes -> 6 rect rows each: (N*6, 14)
+    Every table carries a trailing "provably opaque" column (see
+    :func:`_opaque_flags`; all-zero when unprovable or ``tex`` not given):
+
+    planes: (N,7)  [pos, normal, opq]
+    disks: (N,8)   [pos, normal, radius^2, opq]
+    hollow: (N,9)  [pos, normal, inner^2, outer^2, opq]
+    spheres: (N,5) [pos, radius, opq]
+    cylinders: (N,15) [pos, axes(cols flat), height, radius, opq]
+    rects: (N,15) [pos, ax0, normal(ax1), ax2, w, h, opq]
+    boxes -> 6 rect rows each
 
     ``test_ray``: debug tubes appended to the cylinders table — the kernel
     needs only validity (record-a-slot), the slot re-intersection shades the
-    red/green tube colors via ``intersect_scene(..., test_ray=...)``.
+    red/green tube colors via ``intersect_scene(..., test_ray=...)``.  Tube
+    hits are opaque (the reference's tube colors have alpha 1, frag:191-192).
     """
     out = {}
+    opq = _opaque_flags(sc, tex) if tex is not None else None
+    if opq is None:
+        opq = {name: np.zeros(getattr(sc, name).mat_idx.shape[0], np.float32)
+               for name in ("spheres", "planes", "disks", "hollow_disks",
+                            "cylinders", "rectangles")}
+        opq["boxes"] = np.zeros(sc.boxes.mat_idx.shape[0] * 6, np.float32)
+
+    def col(name):
+        return jnp.asarray(opq[name], jnp.float32)[:, None]
 
     def jn(x):
         # jnp (not numpy) so the packing traces under jit with a traced scene.
@@ -134,29 +208,36 @@ def _pack_scene_smem(sc: Scene, test_ray=None, r_s=1.0):
 
     if sc.spheres.radius.shape[0]:
         out["spheres"] = jnp.concatenate(
-            [jn(sc.spheres.pos), jn(sc.spheres.radius)[:, None]], 1)
+            [jn(sc.spheres.pos), jn(sc.spheres.radius)[:, None],
+             col("spheres")], 1)
     if sc.planes.mat_idx.shape[0]:
         out["planes"] = jnp.concatenate(
-            [jn(sc.planes.pos), jn(sc.planes.axes)[:, :, 1]], 1)
+            [jn(sc.planes.pos), jn(sc.planes.axes)[:, :, 1],
+             col("planes")], 1)
     if sc.disks.mat_idx.shape[0]:
         out["disks"] = jnp.concatenate([
             jn(sc.disks.pos), jn(sc.disks.axes)[:, :, 1],
-            (jn(sc.disks.radius) ** 2)[:, None]], 1)
+            (jn(sc.disks.radius) ** 2)[:, None], col("disks")], 1)
     if sc.hollow_disks.mat_idx.shape[0]:
         out["hollow"] = jnp.concatenate([
             jn(sc.hollow_disks.pos), jn(sc.hollow_disks.axes)[:, :, 1],
             (jn(sc.hollow_disks.inner_radius) ** 2)[:, None],
-            (jn(sc.hollow_disks.outer_radius) ** 2)[:, None]], 1)
+            (jn(sc.hollow_disks.outer_radius) ** 2)[:, None],
+            col("hollow_disks")], 1)
     if sc.cylinders.mat_idx.shape[0]:
         ax = jn(sc.cylinders.axes)
         out["cylinders"] = jnp.concatenate([
             jn(sc.cylinders.pos),
             ax[:, :, 0], ax[:, :, 1], ax[:, :, 2],
             jn(sc.cylinders.height)[:, None],
-            jn(sc.cylinders.radius)[:, None]], 1)
+            jn(sc.cylinders.radius)[:, None], col("cylinders")], 1)
 
     if test_ray is not None:
         tube_rows = _test_ray_cylinder_rows(test_ray, jn(r_s))
+        # Tube colors are opaque (frag:191-192) — hitting one stops the ray,
+        # like the reference's first-opaque break.
+        tube_rows = jnp.concatenate(
+            [tube_rows, jnp.ones((tube_rows.shape[0], 1), jnp.float32)], 1)
         if "cylinders" in out:
             out["cylinders"] = jnp.concatenate([out["cylinders"], tube_rows], 0)
         else:
@@ -168,14 +249,15 @@ def _pack_scene_smem(sc: Scene, test_ray=None, r_s=1.0):
         rect_rows.append(jnp.concatenate([
             jn(sc.rectangles.pos), ax[:, :, 0], ax[:, :, 1], ax[:, :, 2],
             jn(sc.rectangles.width)[:, None],
-            jn(sc.rectangles.height)[:, None]], 1))
+            jn(sc.rectangles.height)[:, None], col("rectangles")], 1))
     if sc.boxes.mat_idx.shape[0]:
         fp = jn(sc.boxes.face_pos).reshape(-1, 3)
         fa = jn(sc.boxes.face_axes).reshape(-1, 3, 3)
         fw = jn(sc.boxes.face_width).reshape(-1, 1)
         fh = jn(sc.boxes.face_height).reshape(-1, 1)
         rect_rows.append(jnp.concatenate(
-            [fp, fa[:, :, 0], fa[:, :, 1], fa[:, :, 2], fw, fh], 1))
+            [fp, fa[:, :, 0], fa[:, :, 1], fa[:, :, 2], fw, fh,
+             col("boxes")], 1))
     if rect_rows:
         out["rects"] = jnp.concatenate(rect_rows, 0)
     return out
@@ -256,13 +338,22 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
         return (disc >= 0.0) & (lam >= 0.0), lam
 
     def segment_min_dist(px, py, pz, sdx, sdy, sdz, seg_len):
-        """Closest scene-hit lambda within [0, seg_len] (inf if none) plus
-        the BH hit lambda.  Validity-only versions of intersect.py."""
+        """Closest scene-hit lambda within [0, seg_len] (inf if none), the
+        BH hit lambda, and the closest PROVABLY-OPAQUE hit lambda (each
+        table's trailing column — _opaque_flags).  Validity-only versions
+        of intersect.py."""
         INF = f32(np.inf)
         best = jnp.full_like(px, INF)
+        best_opq = jnp.full_like(px, INF)
 
         def within(lam):
             return (lam >= 0.0) & (lam <= seg_len)
+
+        def fold(cand, opq_flag):
+            nonlocal best, best_opq
+            best = jnp.minimum(best, cand)
+            best_opq = jnp.minimum(best_opq,
+                                   jnp.where(opq_flag > 0.5, cand, INF))
 
         # Event horizon (frag:757-758).
         bh_ok, bh_lam = sphere_entry(px, py, pz, sdx, sdy, sdz, 0.0, 0.0, 0.0, r_s)
@@ -273,7 +364,7 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
             for i in range(table_rows["spheres"]):
                 ok, lam = sphere_entry(px, py, pz, sdx, sdy, sdz,
                                        t[i, 0], t[i, 1], t[i, 2], t[i, 3])
-                best = jnp.minimum(best, jnp.where(ok & within(lam), lam, INF))
+                fold(jnp.where(ok & within(lam), lam, INF), t[i, 4])
 
         def plane_lam(t, i):
             nxs, nys, nzs = t[i, 3], t[i, 4], t[i, 5]
@@ -287,7 +378,7 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
             t = tabs["planes"]
             for i in range(table_rows["planes"]):
                 ok, lam = plane_lam(t, i)
-                best = jnp.minimum(best, jnp.where(ok, lam, INF))
+                fold(jnp.where(ok, lam, INF), t[i, 6])
 
         if "disks" in tabs:
             t = tabs["disks"]
@@ -297,7 +388,7 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
                 hy = py + lam * sdy - t[i, 1]
                 hz = pz + lam * sdz - t[i, 2]
                 ok = ok & (dot3(hx, hy, hz, hx, hy, hz) <= t[i, 6])
-                best = jnp.minimum(best, jnp.where(ok, lam, INF))
+                fold(jnp.where(ok, lam, INF), t[i, 7])
 
         if "hollow" in tabs:
             t = tabs["hollow"]
@@ -308,7 +399,7 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
                 hz = pz + lam * sdz - t[i, 2]
                 sq = dot3(hx, hy, hz, hx, hy, hz)
                 ok = ok & (sq >= t[i, 6]) & (sq <= t[i, 7])
-                best = jnp.minimum(best, jnp.where(ok, lam, INF))
+                fold(jnp.where(ok, lam, INF), t[i, 8])
 
         if "cylinders" in tabs:
             t = tabs["cylinders"]
@@ -342,7 +433,7 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
                                                     jnp.where(lam2 > 0, lam2, -1.0))),
                                 jnp.where(in1, lam1, jnp.where(in2, lam2, -1.0)))
                 ok = (disc >= 0.0) & (in1 | in2) & within(lam)
-                best = jnp.minimum(best, jnp.where(ok, lam, INF))
+                fold(jnp.where(ok, lam, INF), t[i, 14])
 
         if "rects" in tabs:
             t = tabs["rects"]
@@ -360,9 +451,9 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
                 beta = dot3(t[i, 9], t[i, 10], t[i, 11], hx, hy, hz)
                 ok = ok & (alpha >= 0.0) & (alpha <= t[i, 12]) \
                         & (beta >= 0.0) & (beta <= t[i, 13])
-                best = jnp.minimum(best, jnp.where(ok, lam, INF))
+                fold(jnp.where(ok, lam, INF), t[i, 14])
 
-        return best, bh
+        return best, bh, best_opq
 
     def body(i, s):
         live = s["live"] > 0.5
@@ -426,10 +517,15 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
         seg_len = 1.0 / inv_seg
         sdx, sdy, sdz = ddx * inv_seg, ddy * inv_seg, ddz * inv_seg
 
-        best, bh = segment_min_dist(s["px"], s["py"], s["pz"],
-                                    sdx, sdy, sdz, seg_len)
+        best, bh, best_opq = segment_min_dist(s["px"], s["py"], s["pz"],
+                                              sdx, sdy, sdz, seg_len)
         any_hit = live & (jnp.minimum(best, bh) < f32(np.inf))
         bh_closest = any_hit & (bh <= best)  # BH wins ties (frag:757 init)
+        # First-opaque stop (frag:930-932) at march time: the segment's
+        # closest hit is a provably-opaque primitive (best_opq is a min over
+        # a SUBSET of best's candidates, so <= means ==: the winner is
+        # opaque).  The hit still records below; the ray just stops.
+        opq_closest = any_hit & ~bh_closest & (best_opq <= best)
 
         # Record the segment into the next free slot.
         nh = s["nhits"]
@@ -449,9 +545,10 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
 
         captured = bh_closest
         status = jnp.where(captured, f32(STATUS_CAPTURED), status)
-        live = live & ~captured
+        status = jnp.where(opq_closest, f32(STATUS_HIT_OPAQUE), status)
+        live = live & ~captured & ~opq_closest
 
-        moved = live | captured
+        moved = live | captured | opq_closest
         new_state.update(
             px=sel(moved, npx, s["px"]), py=sel(moved, npy, s["py"]),
             pz=sel(moved, npz, s["pz"]),
@@ -515,7 +612,7 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
 def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
                 n_slots: int = 4, block_h: int = 8, block_w: int = 128,
                 interpret: bool = False, mesh=None, compact: bool = False,
-                test_ray=None):
+                test_ray=None, tex=None):
     """Pallas scene march.  Returns (final_dir, final_pos, status, slots,
     nhits) where slots is a list of K (start (H,W,3), dir (H,W,3), length
     (H,W)) and nhits (H,W) counts ALL segment hits along each ray — uncapped,
@@ -525,6 +622,10 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
     and r_s replicated; every device launches the kernel on its local tile).
     ``compact``: pack active rays into leading rows so sparse noise masks
     leave whole tiles dead for the early tile exit (kernel.compact_march).
+    ``tex``: the texture stack the hits will be shaded with — enables the
+    in-kernel first-opaque stop for primitives whose opacity is provable
+    from concrete material/texture data (:func:`_opaque_flags`); rays
+    stopped this way end with STATUS_HIT_OPAQUE.
     """
     if mesh is not None:
         from .sharding import shard_march
@@ -533,7 +634,7 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
             return march_scene(origin, direction, active, r_s, sc, cfg,
                                n_slots=n_slots, block_h=block_h,
                                block_w=block_w, interpret=interpret,
-                               compact=compact, test_ray=test_ray)
+                               compact=compact, test_ray=test_ray, tex=tex)
 
         return shard_march(mesh, fn)(origin, direction, active, r_s, sc)
     if compact:
@@ -543,7 +644,7 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
             lambda o, d, a: march_scene(o, d, a, r_s, sc, cfg,
                                         n_slots=n_slots, block_h=block_h,
                                         block_w=block_w, interpret=interpret,
-                                        test_ray=test_ray),
+                                        test_ray=test_ray, tex=tex),
             origin, direction, active)
     H, W = active.shape
     pad_h = (-H) % block_h
@@ -557,7 +658,7 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
     comps += [pad(active.astype(jnp.float32))]
     ph, pw = comps[0].shape
 
-    tables = _pack_scene_smem(sc, test_ray=test_ray, r_s=r_s)
+    tables = _pack_scene_smem(sc, test_ray=test_ray, r_s=r_s, tex=tex)
     table_names = tuple(sorted(tables))
     table_rows = {k: int(tables[k].shape[0]) for k in table_names}
 
@@ -606,7 +707,8 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
 
 def march_scene_jnp(origin, direction, active, r_s, sc: Scene,
                     cfg: RenderConfig, n_slots: int = 4,
-                    checkpoint_every: Optional[int] = None, test_ray=None):
+                    checkpoint_every: Optional[int] = None, test_ray=None,
+                    tex=None):
     """Dense-jnp twin of the Pallas scene march — IDENTICAL math, identical
     outputs (validity-only intersections, no shading/texturing).
 
@@ -623,7 +725,7 @@ def march_scene_jnp(origin, direction, active, r_s, sc: Scene,
     O(state x steps/K + state x K).
     """
     f32 = jnp.float32
-    tables = _pack_scene_smem(sc, test_ray=test_ray, r_s=r_s)
+    tables = _pack_scene_smem(sc, test_ray=test_ray, r_s=r_s, tex=tex)
     table_names = tuple(sorted(tables))
     table_rows = {k: int(tables[k].shape[0]) for k in table_names}
 
@@ -671,7 +773,7 @@ def march_scene_jnp(origin, direction, active, r_s, sc: Scene,
 def march_scene_diff(origin, direction, active, r_s, sc: Scene,
                      cfg: RenderConfig, n_slots: int = 4,
                      interpret: bool = False, mesh=None,
-                     compact: bool = False, test_ray=None):
+                     compact: bool = False, test_ray=None, tex=None):
     """Differentiable scene march: Pallas kernel FORWARD, checkpointed
     validity-march replay BACKWARD.
 
@@ -688,7 +790,7 @@ def march_scene_diff(origin, direction, active, r_s, sc: Scene,
     def f(origin, direction, r_s):
         return march_scene(origin, direction, active, r_s, sc, cfg,
                            n_slots=n_slots, interpret=interpret, mesh=mesh,
-                           compact=compact, test_ray=test_ray)
+                           compact=compact, test_ray=test_ray, tex=tex)
 
     def fwd(origin, direction, r_s):
         return f(origin, direction, r_s), (origin, direction, r_s)
@@ -698,7 +800,8 @@ def march_scene_diff(origin, direction, active, r_s, sc: Scene,
 
         def g(origin, direction, r_s):
             return march_scene_jnp(origin, direction, active, r_s, sc, cfg,
-                                   n_slots=n_slots, test_ray=test_ray)
+                                   n_slots=n_slots, test_ray=test_ray,
+                                   tex=tex)
 
         _, vjp = jax.vjp(g, origin, direction, jnp.asarray(r_s, jnp.float32))
         return vjp(cotangent)
@@ -721,6 +824,7 @@ def render_fast(
     differentiable: bool = False,
     test_ray=None,
     skip_empty_slots: bool = False,
+    opaque_stop: bool = True,
 ) -> jnp.ndarray:
     """Full-featured fast renderer: Pallas march + K-slot jnp shading.
 
@@ -800,7 +904,8 @@ def render_fast(
         march = march_scene_diff if differentiable else march_scene
         fdir, fpos, status, slots, nhits = march(
             origin, direction, march_px, r_s, sc, cfg, n_slots=n_slots,
-            interpret=interpret, mesh=mesh, test_ray=test_ray)
+            interpret=interpret, mesh=mesh, test_ray=test_ray,
+            tex=tex if opaque_stop else None)
     else:
         fdir, fpos = direction, origin
         status = jnp.full(batch, STATUS_ESCAPED, f32)

@@ -233,16 +233,26 @@ def test_slot_overflow_documented_deviation():
 
 
 def test_slot_overflow_detected():
-    """With n_slots=1 the demo scene overflows (rays cross >1 translucent
-    hit); overflow='return' reports the count, and with ample slots it is 0."""
-    sc = configs.demo_scene()
+    """Rays crossing more than n_slots TRANSLUCENT hits overflow;
+    overflow='return' reports the count, and with ample slots it is 0.
+    (Translucent scene required: provably-opaque hits now STOP the march —
+    see _opaque_flags — so the stock demo scene no longer overflows at
+    n_slots=1.)"""
+    from schwarzschild_tpu.scene import Light, Material, Rectangle, build_scene
+
+    glass = Material(color=(0.8, 0.2, 0.2, 0.4))
+    sc = build_scene(
+        [Rectangle(pos=(0.0, 0.0, 8.0), width=40.0, height=40.0,
+                   material=glass),
+         Rectangle(pos=(0.0, 1.0, 5.0), width=40.0, height=40.0,
+                   material=glass)],
+        [Light(intensity=8.0)])
     cam = configs.demo_camera()
     bg = configs.background_texture()
-    tex = configs.demo_texture_stack()
     cfg = st.RenderConfig(width=32, height=24, percent_black=-1.0)
-    _, n1 = render_fast(sc, cam, cfg, bg, tex, 1.0, n_slots=1,
+    _, n1 = render_fast(sc, cam, cfg, bg, None, 1.0, n_slots=1,
                         interpret=True, overflow="return")
-    _, n6 = render_fast(sc, cam, cfg, bg, tex, 1.0, n_slots=6,
+    _, n6 = render_fast(sc, cam, cfg, bg, None, 1.0, n_slots=6,
                         interpret=True, overflow="return")
     assert int(n1) > 0
     assert int(n6) == 0
@@ -358,17 +368,80 @@ def test_overflow_warn_eager_no_callback(monkeypatch):
     from schwarzschild_tpu import profiling
 
     monkeypatch.setattr(profiling, "_HOST_CALLBACKS_SUPPORTED", False)
-    sc = configs.demo_scene()
+    from schwarzschild_tpu.scene import Light, Material, Rectangle, build_scene
+
+    glass = Material(color=(0.8, 0.2, 0.2, 0.4))
+    sc = build_scene(
+        [Rectangle(pos=(0.0, 0.0, 8.0), width=40.0, height=40.0,
+                   material=glass),
+         Rectangle(pos=(0.0, 1.0, 5.0), width=40.0, height=40.0,
+                   material=glass)],
+        [Light(intensity=8.0)])
     cam = configs.demo_camera()
     cfg = st.RenderConfig(width=24, height=16, percent_black=-1.0)
     bg = configs.background_texture()
-    tex = configs.demo_texture_stack()
-    # n_slots=1 overflows on the demo scene (see
+    # Two translucent crossings with n_slots=1 overflows (see
     # test_slot_overflow_detected) -> expect a warning, not a crash.
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        img = render_fast(sc, cam, cfg, bg, tex, 1.0, n_slots=1,
+        img = render_fast(sc, cam, cfg, bg, None, 1.0, n_slots=1,
                           interpret=True, overflow="warn")
     assert np.isfinite(np.asarray(img)).all()
     assert any("recording slots" in str(x.message) for x in w), (
         [str(x.message) for x in w])
+
+
+def test_opaque_stop_march():
+    """Provably-opaque hits stop the march (the reference's first-opaque
+    break, frag:930-932, pulled into the kernel).  The config-3 planet
+    spheres carry full-size all-opaque textures, so they are provable;
+    rays end with STATUS_HIT_OPAQUE, the jnp twin matches the kernel, and
+    the image is unchanged (the dropped hits were invisible)."""
+    from schwarzschild_tpu import camera as cam_mod, geometry as geo, physics
+    from schwarzschild_tpu.kernel_scene import (STATUS_HIT_OPAQUE,
+                                                _opaque_flags, march_scene,
+                                                march_scene_jnp)
+
+    c = configs.config3_full_scene()
+    sc, cam, bg, tex = c["scene"], c["camera"], c["background"], c["tex"]
+    cfg = st.RenderConfig(width=48, height=32, percent_black=-1.0)
+
+    flags = _opaque_flags(sc, tex)
+    assert flags is not None and flags["spheres"].all()  # planets opaque
+    # The demo checker texture is SMALLER than its stack max: edge samples
+    # blend zero-alpha padding, so nothing textured with it is provable.
+    dflags = _opaque_flags(configs.demo_scene(), configs.demo_texture_stack())
+    assert not dflags["spheres"].any()
+    assert dflags["boxes"].all()  # untextured alpha-1 material stays provable
+
+    u_ndc, v_ndc = cam_mod.pixel_grid(cfg.width, cfg.height)
+    o, d = cam_mod.generate_rays(cam, u_ndc, v_ndc, cfg.width, cfg.height)
+    act = ~physics.is_radial(d, geo.safe_normalize(o))
+
+    k = march_scene(o, d, act, 1.0, sc, cfg, interpret=True, tex=tex)
+    j = march_scene_jnp(o, d, act, 1.0, sc, cfg, tex=tex)
+    # Fusion (FMA contraction) differs between interpret-mode kernel and the
+    # scanned twin — near-total agreement, like
+    # test_march_twin_matches_kernel.
+    for a, b in zip(jax.tree_util.tree_leaves(k), jax.tree_util.tree_leaves(j)):
+        a, b = np.asarray(a), np.asarray(b)
+        ok = np.abs(a - b) < 1e-2 * (1.0 + np.abs(b))
+        assert ok.mean() > 0.995, ok.mean()
+    np.testing.assert_array_equal(np.asarray(k[2]) == STATUS_HIT_OPAQUE,
+                                  np.asarray(j[2]) == STATUS_HIT_OPAQUE)
+    assert (np.asarray(k[2]) == STATUS_HIT_OPAQUE).sum() > 0
+
+    # Image invariance: stop on/off differ only at knife-edge pixels.
+    a = np.asarray(render_fast(sc, cam, cfg, bg, tex, 1.0, interpret=True,
+                               overflow="ignore", opaque_stop=True))
+    b = np.asarray(render_fast(sc, cam, cfg, bg, tex, 1.0, interpret=True,
+                               overflow="ignore", opaque_stop=False))
+    dd = np.abs(a - b).max(-1)
+    assert (dd < 2e-3).mean() > 0.995, f"max {dd.max():.3g}"
+
+    # Traced texture data (inverse rendering optimizing texels): nothing is
+    # provable -> flags None -> the march keeps record-and-continue.
+    def probe(data):
+        assert _opaque_flags(sc, tex._replace(data=data)) is None
+        return data.sum()
+    jax.jit(probe)(tex.data)
