@@ -11,6 +11,11 @@ Workloads (all 512x512, max_steps=100, demo camera):
                   noise mask (25% of lanes march): measures the early
                   tile-exit win on the reference's actual interactive
                   workload.
+  * frame_dense — END-TO-END render_fast frame (march + K slot
+                  intersect/shade passes + background composite) on the demo
+                  scene at 512x512: the whole-frame number the reference's
+                  interactive loop corresponds to (one draw call per frame,
+                  main.cpp:319).
 
 Methodology: the host<->TPU tunnel in this environment has ~40 ms round-trip
 latency and an async dispatch queue whose block_until_ready can return early,
@@ -53,7 +58,7 @@ def main():
     from schwarzschild_tpu import camera as cm
     from schwarzschild_tpu import configs, geometry as geo, physics
     from schwarzschild_tpu.kernel import march_bh
-    from schwarzschild_tpu.kernel_scene import march_scene
+    from schwarzschild_tpu.kernel_scene import march_scene, render_fast
     from schwarzschild_tpu.render import pixel_hash_rand
 
     dev = jax.devices()[0]
@@ -117,6 +122,27 @@ def main():
     # than the march it saves (see kernel.compact_march docstring).
     t_sparse, _ = _time_chain(bh_chain(sparse, 16, 256))
 
+    bgt = configs.background_texture()
+    tex = configs.demo_texture_stack()
+
+    def frame_chain():
+        def make(chain):
+            @jax.jit
+            def chained(r0):
+                def body(r, _):
+                    img = render_fast(sc, cam, cfg, bgt, tex, r,
+                                      overflow="ignore")
+                    return r + 1e-6 * jnp.mean(img), None
+
+                r, _ = jax.lax.scan(body, r0, None, length=chain)
+                return r
+
+            return chained
+
+        return make
+
+    t_frame, _ = _time_chain(frame_chain(), chains=(4, 12))
+
     print(json.dumps({
         "metric": "geodesic_rk4_steps_per_s_per_chip",
         "value": steps_per_s,
@@ -129,6 +155,9 @@ def main():
         "scene_vs_baseline": scene_steps_per_s / 1e9,
         "sparse_march_ms_per_frame": t_sparse * 1e3,
         "sparse_early_exit_speedup": t_bh / t_sparse,
+        "frame_ms_end_to_end": t_frame * 1e3,
+        "frame_fps_end_to_end": 1.0 / t_frame,
+        "frame_rays_per_s": size * size / t_frame,
         "chain_totals_ms": {str(k): v * 1e3 for k, v in totals_bh.items()},
         "scene_chain_totals_ms": {str(k): v * 1e3
                                   for k, v in totals_scene.items()},

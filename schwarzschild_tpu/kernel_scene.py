@@ -142,8 +142,11 @@ def _opaque_flags(sc: Scene, tex):
         dbl = np.asarray(m.double_sided_normals)
         if tex is not None:
             # Min over the WHOLE padded layer (see docstring: edge samples
-            # and mips blend the padding).
-            tmin = np.asarray(tex.data)[..., 3].min(axis=(1, 2))
+            # and mips blend the padding).  Reduce ON DEVICE and pull one
+            # scalar per layer — np.asarray(tex.data) would drag the whole
+            # stack through the host link at trace time (minutes through
+            # the tunneled TPU in this environment).
+            tmin = np.asarray(jnp.min(tex.data[..., 3], axis=(1, 2)))
         else:
             tmin = None
         def mat_opaque(mat_idx):
