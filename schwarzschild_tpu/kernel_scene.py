@@ -17,8 +17,12 @@ section 7, refined):
     additively in slot order with the reference's first-opaque cutoff
     (frag:930-932) and final background (frag:935).
 
-Cost: 100 in-kernel validity steps + at most K full jnp intersect/shade
-passes, vs the dense renderer's 100 full passes.
+Cost: 100 in-kernel validity steps + at most K jnp intersect/shade passes,
+vs the dense renderer's 100 full passes.  Slot passes k >= 1 are COMPACTED
+by default (gather active lanes -> small pass -> scatter-add back): only a
+few % of rays record a second hit, and TPU texture gathers are per-index
+latency-bound, so a full-batch trailing pass pays for every idle lane (see
+``render_fast`` ``compact_slots``).
 
 Deviation (documented + detected): a ray crossing more than K non-opaque hits
 drops the extras; K=4 covers every shipped scene (the reference demo has no
@@ -828,6 +832,7 @@ def render_fast(
     test_ray=None,
     skip_empty_slots: bool = False,
     opaque_stop: bool = True,
+    compact_slots="auto",
 ) -> jnp.ndarray:
     """Full-featured fast renderer: Pallas march + K-slot jnp shading.
 
@@ -853,6 +858,21 @@ def render_fast(
     differentiable at kernel forward speed (backward = checkpointed
     validity-march replay + the K slot shading passes, NOT the dense
     100-intersect/shade twin).
+
+    ``compact_slots`` compacts the SPARSE trailing slot passes: slot k >= 1
+    is typically active for only a few % of lanes (the demo scene records a
+    second hit on 13% of pixels, a third on 2%, a fourth on ~0.005%), yet a
+    full-batch pass pays the per-index texture-gather latency for EVERY lane.
+    A compacted pass gathers the active lanes' ray data into a fixed-size
+    buffer (one row gather), runs intersect+shade at that smaller batch, and
+    scatter-adds the results back — same math per lane, so the image is
+    unchanged.  Lanes beyond a slot's static capacity (rare by construction)
+    fall back to a full-batch pass under a ``lax.cond`` that fires only on
+    overflow, keeping exact parity.
+      * "auto" (default): slot k >= 1 gets capacity ``n_pixels / 4**k``;
+      * None: round-1 behavior, every slot pass runs at full batch;
+      * a sequence of per-slot capacities (None entries = full pass), e.g.
+        ``(None, 65536, 16384, 4096)`` — must cover ``n_slots`` slots.
     """
     f32 = jnp.float32
     r_s = jnp.asarray(r_s, f32)
@@ -973,6 +993,87 @@ def render_fast(
 
         return run, empty
 
+    bsz = int(np.prod(batch))
+    if compact_slots == "auto" and (mesh is not None or trilinear):
+        # Compaction's nonzero/cumsum/gather are GLOBAL ops: under a device
+        # mesh they would reshard every lane through ICI instead of staying
+        # tile-local.  Sharded frames keep the full-batch passes unless the
+        # caller explicitly asks (per-shard compaction would need the slot
+        # passes inside shard_map, which plain XLA SPMD handles fine today).
+        # Trilinear LOD likewise needs the 2-D pixel grid — its screen-space
+        # derivatives (textures.screen_space_lod) have no meaning on a
+        # compacted 1-D lane list.
+        compact_slots = None
+    if trilinear and compact_slots is not None:
+        raise ValueError(
+            "compact_slots is incompatible with texture_filter='trilinear' "
+            "(screen-space LOD needs the 2-D pixel grid)")
+    if compact_slots == "auto":
+        caps = [None] + [bsz // (4 ** k) for k in range(1, len(slots))]
+    elif compact_slots is None:
+        caps = [None] * len(slots)
+    else:
+        caps = list(compact_slots)
+        if len(caps) < len(slots):
+            raise ValueError(
+                f"compact_slots covers {len(caps)} slots, need {len(slots)}")
+    # A capacity only pays off when it is a real shrink; tiny images (tests)
+    # and near-full capacities take the plain full-batch pass.
+    caps = [c if (c is not None and 2 * c <= bsz) else None for c in caps]
+
+    def compacted_pass(start, sdir, slen, rec, fold, eff, cap):
+        """Run one slot pass at capacity ``cap`` instead of full batch.
+
+        Active lanes' per-ray data rides ONE row gather from a packed
+        (bsz, 15) table (TPU XLA gathers are per-index latency-bound, so one
+        15-wide row costs the same as one scalar); results scatter-add back
+        into the full frame.  Returns full-batch (rgba, hvalid, is_bh) plus
+        the ``dropped`` mask of active lanes beyond capacity (handled by the
+        caller's rare full-batch residual).
+        """
+        flat_eff = eff.reshape(bsz)
+        eff_i = flat_eff.astype(jnp.int32)
+        n_eff = jnp.sum(eff_i)
+        # Out-of-range fill: gather CLAMPS (reads lane bsz-1, masked off via
+        # cvalid below), scatter DROPS (jax default modes under jit).
+        idx = jnp.nonzero(flat_eff, size=cap, fill_value=bsz)[0]
+        cvalid = jnp.arange(cap, dtype=jnp.int32) < n_eff
+        tab = jnp.concatenate([
+            start.reshape(bsz, 3), sdir.reshape(bsz, 3),
+            use_pos.reshape(bsz, 3), use_dir.reshape(bsz, 3),
+            slen.reshape(bsz, 1),
+            rec.reshape(bsz, 1).astype(f32),
+            fold.reshape(bsz, 1).astype(f32),
+        ], axis=-1)
+        rows = tab[idx]
+        c_rec = (rows[:, 13] > 0.5) & cvalid
+        c_fold = (rows[:, 14] > 0.5) & cvalid
+        # Same safe-ray substitution as make_pass: inactive lanes (incl. the
+        # clamped fill rows) march a harmless unit ray so the backward pass
+        # stays NaN-free.
+        safe_dir = jnp.where(c_fold[:, None], rows[:, 9:12],
+                             jnp.where(c_rec[:, None], rows[:, 3:6],
+                                       jnp.array([1.0, 0.0, 0.0], f32)))
+        safe_start = jnp.where(c_fold[:, None], rows[:, 6:9], rows[:, 0:3])
+        window = jnp.where(c_fold, -1.0,
+                           jnp.where(c_rec, rows[:, 12] * 1.0001 + 1e-5, 1.0))
+        hit = intersect_scene(safe_start, safe_dir, window, sc, r_s,
+                              test_ray=test_ray)
+        rgba = shade(hit, -safe_dir, sc, tex, trilinear=trilinear)
+        pay = jnp.concatenate([
+            rgba,
+            hit.valid[:, None].astype(f32),
+            (hit.obj_type == OBJECT_TYPE_SPECIAL)[:, None].astype(f32),
+        ], axis=-1)
+        pay = jnp.where((c_rec | c_fold)[:, None], pay, 0.0)
+        out = jnp.zeros((bsz, 6), f32).at[idx].add(pay)
+        rgba_f = out[:, 0:4].reshape(batch + (4,))
+        hvalid = (out[:, 4] > 0.5).reshape(batch)
+        is_bh = (out[:, 5] > 0.5).reshape(batch)
+        pos = jnp.cumsum(eff_i) - 1  # rank of each active lane
+        dropped = (flat_eff & (pos >= cap)).reshape(batch)
+        return rgba_f, hvalid, is_bh, dropped
+
     def maybe_pass(eff, run, empty):
         # skip_empty_slots=True runtime-skips slots nobody filled or folded
         # into (lax.cond executes one branch only under jit).  Default OFF:
@@ -988,17 +1089,34 @@ def render_fast(
             return jax.lax.cond(jnp.any(eff), run, empty, None)
         return run(None)
 
-    zeros3 = jnp.zeros(batch + (3,), f32)
-    for k, ((start, sdir, slen), rec) in enumerate(zip(slots, recs)):
-        fold_k = needs_far & (n_rec == k)
-        eff = rec | fold_k
-        run, empty = make_pass(start, sdir, slen, rec, fold_k)
-        rgba, hvalid, is_bh = maybe_pass(eff, run, empty)
+    def composite(eff, rgba, hvalid, is_bh):
+        nonlocal color, captured_shaded, open_
         take = eff & open_ & hvalid
         opaque_take = take & (rgba[..., 3] == 1.0)
         color = color + jnp.where(take[..., None], rgba, 0.0)
         captured_shaded = captured_shaded | (opaque_take & is_bh)
         open_ = open_ & ~opaque_take
+
+    zeros3 = jnp.zeros(batch + (3,), f32)
+    for k, ((start, sdir, slen), rec) in enumerate(zip(slots, recs)):
+        fold_k = needs_far & (n_rec == k)
+        eff = rec | fold_k
+        if caps[k] is not None:
+            rgba, hvalid, is_bh, dropped = compacted_pass(
+                start, sdir, slen, rec, fold_k, eff, caps[k])
+            composite(eff & ~dropped, rgba, hvalid, is_bh)
+            # Capacity overflow (rare by construction): the dropped lanes
+            # take a full-batch pass under a cond that fires only then —
+            # compaction never changes the image, only the schedule.
+            run_d, empty_d = make_pass(start, sdir, slen, rec & dropped,
+                                       fold_k & dropped)
+            rgba, hvalid, is_bh = jax.lax.cond(jnp.any(dropped), run_d,
+                                               empty_d, None)
+            composite(dropped, rgba, hvalid, is_bh)
+        else:
+            run, empty = make_pass(start, sdir, slen, rec, fold_k)
+            rgba, hvalid, is_bh = maybe_pass(eff, run, empty)
+            composite(eff, rgba, hvalid, is_bh)
 
     # Residual far rays: every slot recorded AND far-field continuation
     # (rare: > n_slots translucent crossings + far exit), or FLAT mode where
@@ -1015,11 +1133,7 @@ def render_fast(
         # far-field exit) — cond-skip it even with skip_empty_slots=False.
         rgba, hvalid, is_bh = jax.lax.cond(jnp.any(residual), run, empty,
                                            None)
-    take = residual & open_ & hvalid
-    opaque_take = take & (rgba[..., 3] == 1.0)
-    color = color + jnp.where(take[..., None], rgba, 0.0)
-    captured_shaded = captured_shaded | (opaque_take & is_bh)
-    open_ = open_ & ~opaque_take
+    composite(residual, rgba, hvalid, is_bh)
 
     # Background: every lane still open shows the sky — except captured rays
     # (capture is opaque black even when its slot was dropped by overflow,

@@ -445,3 +445,51 @@ def test_opaque_stop_march():
         assert _opaque_flags(sc, tex._replace(data=data)) is None
         return data.sum()
     jax.jit(probe)(tex.data)
+
+
+def test_compacted_slot_passes_bit_equal():
+    """Compacted trailing slot passes change the schedule, never the image:
+    "auto" capacities AND deliberately-overflowing tiny capacities (which
+    force the dropped-lane full-batch residual cond to fire) must both be
+    bit-identical to the full-batch pass."""
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    cfg = st.RenderConfig(width=64, height=48, percent_black=-1.0,
+                          checkpoint_every=0)
+    kw = dict(interpret=True, overflow="ignore")
+    full = np.asarray(render_fast(sc, cam, cfg, bg, tex,
+                                  compact_slots=None, **kw))
+    auto = np.asarray(render_fast(sc, cam, cfg, bg, tex,
+                                  compact_slots="auto", **kw))
+    tiny = np.asarray(render_fast(sc, cam, cfg, bg, tex,
+                                  compact_slots=(None, 16, 16, 16), **kw))
+    np.testing.assert_array_equal(full, auto)
+    np.testing.assert_array_equal(full, tiny)
+
+
+def test_compacted_differentiable_grads_match():
+    """Gradients through the compacted passes equal the uncompacted ones
+    (gather/scatter-add is linear; the safe-ray substitution keeps dropped
+    fill lanes NaN-free)."""
+    import jax.numpy as jnp
+
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    cfg = st.RenderConfig(width=32, height=24, percent_black=-1.0,
+                          checkpoint_every=0)
+
+    def loss(r_s, compact):
+        img = render_fast(sc, cam, cfg, bg, tex, r_s=r_s, interpret=True,
+                          overflow="ignore", differentiable=True,
+                          compact_slots=compact)
+        return jnp.mean(img[..., :3])
+
+    g_full = jax.grad(lambda r: loss(r, None))(jnp.float32(1.0))
+    g_comp = jax.grad(lambda r: loss(r, "auto"))(jnp.float32(1.0))
+    assert bool(jnp.isfinite(g_full)) and bool(jnp.isfinite(g_comp))
+    np.testing.assert_allclose(float(g_comp), float(g_full),
+                               rtol=1e-5, atol=1e-7)
