@@ -16,6 +16,11 @@ Workloads (all 512x512, max_steps=100, demo camera):
                   scene at 512x512: the whole-frame number the reference's
                   interactive loop corresponds to (one draw call per frame,
                   main.cpp:319).
+  * frame_interactive — END-TO-END frame at the reference's DEFAULT
+                  interactive workload: 1280x720 (main.cpp:25-26) with
+                  percent_black=0.75 noise skip (main.cpp:66), demo scene.
+                  1/frame_interactive_ms is directly comparable to the
+                  reference's on-screen FPS.
 
 Methodology: the host<->TPU tunnel in this environment has ~40 ms round-trip
 latency and an async dispatch queue whose block_until_ready can return early,
@@ -125,12 +130,12 @@ def main():
     bgt = configs.background_texture()
     tex = configs.demo_texture_stack()
 
-    def frame_chain():
+    def frame_chain(frame_cfg):
         def make(chain):
             @jax.jit
             def chained(r0):
                 def body(r, _):
-                    img = render_fast(sc, cam, cfg, bgt, tex, r,
+                    img = render_fast(sc, cam, frame_cfg, bgt, tex, r,
                                       overflow="ignore")
                     return r + 1e-6 * jnp.mean(img), None
 
@@ -141,7 +146,11 @@ def main():
 
         return make
 
-    t_frame, _ = _time_chain(frame_chain(), chains=(4, 12))
+    t_frame, _ = _time_chain(frame_chain(cfg), chains=(4, 12))
+
+    cfg_int = st.RenderConfig(width=1280, height=720, percent_black=0.75,
+                              noise_mode="hash", checkpoint_every=0)
+    t_int, _ = _time_chain(frame_chain(cfg_int), chains=(4, 12))
 
     print(json.dumps({
         "metric": "geodesic_rk4_steps_per_s_per_chip",
@@ -158,6 +167,8 @@ def main():
         "frame_ms_end_to_end": t_frame * 1e3,
         "frame_fps_end_to_end": 1.0 / t_frame,
         "frame_rays_per_s": size * size / t_frame,
+        "interactive_720p_ms": t_int * 1e3,
+        "interactive_720p_fps": 1.0 / t_int,
         "chain_totals_ms": {str(k): v * 1e3 for k, v in totals_bh.items()},
         "scene_chain_totals_ms": {str(k): v * 1e3
                                   for k, v in totals_scene.items()},

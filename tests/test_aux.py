@@ -72,3 +72,25 @@ def test_transform_pytree():
     np.testing.assert_allclose(np.asarray(t.forward), [0, 0, 1])
     t2 = t.with_up_from_forward_right()
     np.testing.assert_allclose(np.asarray(t2.up), [0, 1, 0], atol=1e-6)
+
+
+def test_render_trajectory_device_quantize_identical(tmp_path):
+    """Frames headed for PNGs quantize to uint8 ON DEVICE (4x smaller host
+    transfer); the file bytes must equal the host-side save_png conversion
+    of the float frame."""
+    from PIL import Image
+    import jax
+
+    sc = st.empty_scene()
+    cfg = st.RenderConfig(width=24, height=16, max_steps=10,
+                          percent_black=-1.0, checkpoint_every=5)
+    bg = st.solid_color_texture((0.3, 0.2, 0.1, 1.0))
+    out = render_trajectory(sc, cfg, bg, n_frames=1, out_dir=tmp_path,
+                            all_frames_local=True)
+    frames = render_trajectory(sc, cfg, bg, n_frames=1,
+                               all_frames_local=True)  # float path
+    ref_png = tmp_path / "ref.png"
+    st.save_png(frames[0][1], ref_png)
+    a = np.asarray(Image.open(out[0][1]))
+    b = np.asarray(Image.open(ref_png))
+    np.testing.assert_array_equal(a, b)
