@@ -817,6 +817,25 @@ def march_scene_diff(origin, direction, active, r_s, sc: Scene,
     return f(origin, direction, jnp.asarray(r_s, jnp.float32))
 
 
+def noise_field(cfg: RenderConfig, u_ndc, v_ndc) -> jnp.ndarray:
+    """The per-pixel random field behind the noise-skip mask (frag:879-881),
+    for cfg's ``noise_mode`` — zeros when noise is off.
+
+    Factored out so tile-sharded renderers can compute it on the FULL pixel
+    grid before shard_map: ``pixel_hash_rand`` (and the uniform mode) hash
+    absolute pixel coordinates, which a tile-local computation cannot see.
+    """
+    if cfg.percent_black >= 0.0 and cfg.noise_mode != "none":
+        if cfg.noise_mode == "glsl":
+            uv_vec = jnp.stack(
+                [u_ndc, v_ndc * (cfg.height / cfg.width)], axis=-1)
+            return glsl_rand(uv_vec)
+        if cfg.noise_mode == "hash":
+            return pixel_hash_rand(cfg.width, cfg.height, cfg.noise_seed)
+        return jax.random.uniform(jax.random.key(cfg.noise_seed), u_ndc.shape)
+    return jnp.zeros(u_ndc.shape, jnp.float32)
+
+
 def render_fast(
     sc: Scene,
     cam: cam_mod.Camera,
@@ -833,6 +852,7 @@ def render_fast(
     skip_empty_slots: bool = False,
     opaque_stop: bool = True,
     compact_slots="auto",
+    precomputed: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Full-featured fast renderer: Pallas march + K-slot jnp shading.
 
@@ -873,6 +893,15 @@ def render_fast(
       * None: round-1 behavior, every slot pass runs at full batch;
       * a sequence of per-slot capacities (None entries = full pass), e.g.
         ``(None, 65536, 16384, 4096)`` — must cover ``n_slots`` slots.
+
+    ``precomputed``: dict with keys ``origin``, ``direction`` (each
+    batch+(3,)), ``u_ndc``, ``v_ndc``, ``rnd`` (each batch-shaped) replacing
+    the internal pixel-grid / ray / noise-field generation.  This is the
+    tile-sharding hook (``sharding.make_sharded_render(renderer="fast")``):
+    the caller computes full-grid quantities outside shard_map (they depend
+    on absolute pixel coordinates) and the whole remaining pipeline — march
+    kernel, compacted slot passes, background — runs tile-local per device.
+    ``cam`` is unused (may be None) when ``precomputed`` is given.
     """
     f32 = jnp.float32
     r_s = jnp.asarray(r_s, f32)
@@ -888,8 +917,16 @@ def render_fast(
         if tex is not None and not tex.mips:
             tex = tex._replace(mips=build_mips(tex.data))
 
-    u_ndc, v_ndc = cam_mod.pixel_grid(W, H)
-    origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc, W, H)
+    if precomputed is None:
+        u_ndc, v_ndc = cam_mod.pixel_grid(W, H)
+        origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc, W, H)
+        rnd = noise_field(cfg, u_ndc, v_ndc)
+    else:
+        origin = precomputed["origin"]
+        direction = precomputed["direction"]
+        u_ndc = precomputed["u_ndc"]
+        v_ndc = precomputed["v_ndc"]
+        rnd = precomputed["rnd"]
     batch = u_ndc.shape
 
     base = jnp.zeros(batch + (4,), f32)
@@ -909,14 +946,7 @@ def render_fast(
     normal_vec0 = geo.safe_normalize(origin)
     flat_px = mode_flat | physics.is_radial(direction, normal_vec0)
 
-    uv_vec = jnp.stack([u_ndc, v_ndc * (H / W)], axis=-1)
     if cfg.percent_black >= 0.0 and cfg.noise_mode != "none":
-        if cfg.noise_mode == "glsl":
-            rnd = glsl_rand(uv_vec)
-        elif cfg.noise_mode == "hash":
-            rnd = pixel_hash_rand(W, H, cfg.noise_seed)
-        else:
-            rnd = jax.random.uniform(jax.random.key(cfg.noise_seed), batch)
         noise_skip = ~flat_px & (rnd <= f32(cfg.percent_black))
     else:
         noise_skip = jnp.zeros(batch, bool)

@@ -143,13 +143,49 @@ def make_sharded_render(mesh: Mesh, cfg: RenderConfig, renderer: str = "jnp",
     if renderer == "jnp":
         def _render(sc, cam, background, tex, r_s):
             return render(sc, cam, cfg, background, tex, r_s)
-    elif renderer == "fast":
+    elif renderer == "fast" and cfg.texture_filter == "trilinear":
+        # Trilinear LOD takes screen-space derivatives (cross-tile
+        # neighbors): march rides shard_map, shading stays under the SPMD
+        # partitioner, which handles the rolls with collective permutes.
         from .kernel_scene import render_fast
 
         def _render(sc, cam, background, tex, r_s):
             return render_fast(sc, cam, cfg, background, tex, r_s,
                                n_slots=n_slots, interpret=interpret,
                                overflow="ignore", mesh=mesh)
+    elif renderer == "fast":
+        # The WHOLE fast pipeline runs tile-local inside ONE shard_map —
+        # kernel launch, compacted slot passes, background composite — so
+        # nothing depends on the SPMD partitioner's choices and the sparse-
+        # slot compaction (a global nonzero/gather, unpartitionable) works
+        # per shard.  Absolute-pixel-coordinate quantities (pixel grid,
+        # rays, the noise hash) are computed OUTSIDE on the full grid; they
+        # are pure iota math the partitioner shards for free.
+        from . import camera as cam_mod
+        from .kernel_scene import noise_field, render_fast
+
+        row, col = _img_axes(mesh)
+        p2 = P(row, col)
+        p3 = P(row, col, None)
+
+        def _core(o, d, u, v, rnd, sc, background, tex, r_s):
+            return render_fast(
+                sc, None, cfg, background, tex, r_s, n_slots=n_slots,
+                interpret=interpret, overflow="ignore",
+                precomputed=dict(origin=o, direction=d, u_ndc=u, v_ndc=v,
+                                 rnd=rnd))
+
+        def _render(sc, cam, background, tex, r_s):
+            u, v = cam_mod.pixel_grid(cfg.width, cfg.height)
+            o, d = cam_mod.generate_rays(cam, u, v, cfg.width, cfg.height)
+            rnd = noise_field(cfg, u, v)
+            inner = jax.shard_map(
+                _core, mesh=mesh,
+                in_specs=(p3, p3, p2, p2, p2, P(), P(), P(), P()),
+                out_specs=p3,
+                check_vma=False,
+            )
+            return inner(o, d, u, v, rnd, sc, background, tex, r_s)
     else:
         raise ValueError(f"unknown renderer {renderer!r}")
 
