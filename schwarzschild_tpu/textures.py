@@ -214,6 +214,25 @@ def sample_stack(stack: TextureStack, index, u, v):
     return top + fy * (bot - top)
 
 
+def with_dtype(tex: Texture, dtype=jnp.bfloat16) -> Texture:
+    """Texel-storage precision knob: bf16 texels gather ~1.5x faster on TPU
+    (half the slice bytes per index of the latency-bound patch gather) at
+    <= 0.2% per-texel error (8-bit significand; source PNGs are 8-bit
+    anyway).  The bilinear/trilinear lerp weights stay f32, so sampled
+    results promote back to f32 and EXACT 1.0 alphas stay exact (1.0 is
+    representable in bf16), preserving the first-opaque break and the
+    provable-opacity analysis.  Opt-in: f32 remains the oracle-parity
+    default."""
+    return tex._replace(data=tex.data.astype(dtype),
+                        mips=tuple(m.astype(dtype) for m in tex.mips))
+
+
+def stack_with_dtype(stack: TextureStack, dtype=jnp.bfloat16) -> TextureStack:
+    """:func:`with_dtype` for a :class:`TextureStack` (sizes stay f32)."""
+    return stack._replace(data=stack.data.astype(dtype),
+                          mips=tuple(m.astype(dtype) for m in stack.mips))
+
+
 def solid_color_texture(rgba, size=4) -> Texture:
     """Tiny constant texture — handy for tests."""
     rgba = np.asarray(rgba, np.float32)

@@ -252,3 +252,48 @@ def test_shade_skips_normal_map_gathers_when_table_has_none():
     finally:
         sh._concrete_none_negative = orig
     np.testing.assert_array_equal(gated, ungated)
+
+
+def test_bf16_texture_storage_close_and_opaque_exact():
+    """with_dtype/stack_with_dtype: bf16 texels sample within 8-bit-source
+    tolerance of f32 (<= ~0.4%), exact-1.0 alphas stay EXACTLY 1.0 (the
+    first-opaque break tests a == 1.0), and a full fast render stays within
+    display tolerance."""
+    import jax.numpy as jnp
+    import schwarzschild_tpu as st
+    from schwarzschild_tpu import configs
+    from schwarzschild_tpu.kernel_scene import render_fast
+    from schwarzschild_tpu.textures import (sample_stack, sample_texture,
+                                            stack_with_dtype, with_dtype)
+
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    bg16 = with_dtype(bg)
+    tex16 = stack_with_dtype(tex)
+    assert bg16.data.dtype == jnp.bfloat16
+
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.uniform(0, 1, (64,)), jnp.float32)
+    v = jnp.asarray(rng.uniform(0, 1, (64,)), jnp.float32)
+    a = np.asarray(sample_texture(bg, u, v))
+    b = np.asarray(sample_texture(bg16, u, v))
+    assert b.dtype == np.float32  # lerp weights promote back to f32
+    np.testing.assert_allclose(b, a, atol=5e-3)
+
+    idx = jnp.zeros((64,), jnp.int32)
+    a = np.asarray(sample_stack(tex, idx, u, v))
+    b = np.asarray(sample_stack(tex16, idx, u, v))
+    np.testing.assert_allclose(b, a, atol=5e-3)
+    # demo layer 0 alpha is exactly 1 everywhere -> must survive exactly
+    assert (b[..., 3] == 1.0).all() == (a[..., 3] == 1.0).all()
+
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    cfg = st.RenderConfig(width=48, height=32, percent_black=-1.0,
+                          checkpoint_every=0)
+    f = np.asarray(render_fast(sc, cam, cfg, bg, tex, interpret=True,
+                               overflow="ignore"))
+    g = np.asarray(render_fast(sc, cam, cfg, bg16, tex16, interpret=True,
+                               overflow="ignore"))
+    d = np.abs(f - g)
+    assert (d < 1 / 255).mean() > 0.98, d.max()
