@@ -45,11 +45,16 @@ def measure_mesh(n_devices: int, size: int = 256, chains=(4, 12),
     rep = replicated(mesh)
 
     if renderer == "fast":
-        from schwarzschild_tpu.kernel_scene import render_fast
+        # The production tile-local path: the WHOLE fast pipeline (kernel
+        # launch + compacted slot passes + background) rides ONE shard_map
+        # per device (sharding.make_sharded_render).
+        from schwarzschild_tpu.sharding import make_sharded_render
+
+        sharded_fast = make_sharded_render(mesh, cfg, renderer="fast",
+                                           interpret=interpret)
 
         def render_any(r):
-            return render_fast(sc, cam, cfg, bg, None, r, overflow="ignore",
-                               interpret=interpret, mesh=mesh)
+            return sharded_fast(sc, cam, bg, None, r)
     else:
         def render_any(r):
             return render(sc, cam, cfg, bg, None, r)

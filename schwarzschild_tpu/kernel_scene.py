@@ -1238,3 +1238,48 @@ def render_fast(
                     "raise n_slots)")
         return img
     raise ValueError(f"unknown overflow mode {overflow!r}")
+
+
+def render_fast_auto(
+    sc: Scene,
+    cam,
+    cfg: RenderConfig,
+    background: Texture,
+    tex: Optional[TextureStack] = None,
+    r_s=1.0,
+    *,
+    start_slots: int = 2,
+    max_slots: int = 8,
+    **kw,
+):
+    """Host-level slot escalation around :func:`render_fast`.
+
+    Every recording slot costs an intersect+shade pass (plus kernel VMEM for
+    its 7 output planes), but how many slots a frame actually NEEDS depends
+    on the scene and view: most scenes never stack more than 2 translucent
+    hits on one ray, while a lensed accretion-disk close-up can cross the
+    disk plane 3+ times — a static bound from scene composition is unsound
+    (the reference has no bound at all: frag:930-932 accumulates every
+    non-opaque hit along the march).
+
+    This helper renders with ``start_slots`` and, whenever the kernel's
+    uncapped hit counter reports dropped recordings, doubles the slot count
+    (capped at ``max_slots``) and re-renders.  Each distinct slot count is a
+    separate trace/compile, so this is a HOST-level loop for interactive and
+    animation use where the required count stabilizes after the first frame
+    — not for use under jit (use ``overflow="return"`` and manage slots
+    yourself there).
+
+    Returns ``(image, n_slots_used)``; at ``max_slots`` the image may still
+    carry dropped hits (the documented deviation) — check with
+    ``overflow="return"`` if that matters.
+    """
+    if "n_slots" in kw or "overflow" in kw:
+        raise TypeError("render_fast_auto manages n_slots/overflow itself")
+    n = int(start_slots)
+    while True:
+        img, n_over = render_fast(sc, cam, cfg, background, tex, r_s,
+                                  n_slots=n, overflow="return", **kw)
+        if n >= int(max_slots) or int(jax.device_get(n_over)) == 0:
+            return img, n
+        n = min(2 * n, int(max_slots))

@@ -258,6 +258,40 @@ def test_slot_overflow_detected():
     assert int(n6) == 0
 
 
+def test_render_fast_auto_escalates_slots():
+    """render_fast_auto doubles the slot count until the kernel reports no
+    dropped recordings; the result matches an ample-slot render exactly."""
+    from schwarzschild_tpu.kernel_scene import render_fast_auto
+    from schwarzschild_tpu.scene import Light, Material, Rectangle, build_scene
+
+    glass = Material(color=(0.8, 0.2, 0.2, 0.4))
+    sc = build_scene(
+        [Rectangle(pos=(0.0, 0.0, 8.0), width=40.0, height=40.0,
+                   material=glass),
+         Rectangle(pos=(0.0, 1.0, 5.0), width=40.0, height=40.0,
+                   material=glass)],
+        [Light(intensity=8.0)])
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+    cfg = st.RenderConfig(width=32, height=24, percent_black=-1.0)
+
+    img, used = render_fast_auto(sc, cam, cfg, bg, None, 1.0,
+                                 start_slots=1, interpret=True)
+    # Two stacked translucent panes overflow 1 slot everywhere, and one
+    # lensed ray crosses a pane a third time -> 2 slots still drop a hit,
+    # so the doubling loop settles at 4.
+    assert used == 4
+    ref = np.asarray(render_fast(sc, cam, cfg, bg, None, 1.0, n_slots=6,
+                                 interpret=True, overflow="ignore"))
+    np.testing.assert_array_equal(np.asarray(img), ref)
+
+    # max_slots caps escalation even when overflow persists.
+    img1, used1 = render_fast_auto(sc, cam, cfg, bg, None, 1.0,
+                                   start_slots=1, max_slots=1,
+                                   interpret=True)
+    assert used1 == 1
+
+
 def test_overflow_capture_stays_black():
     """A captured ray whose capture slot is dropped must composite black, not
     background (ADVICE round 1): with n_slots=0... the smallest legal slot
