@@ -121,14 +121,18 @@ def render_trajectory(
     return out
 
 
-def write_video(frame_paths: Sequence[str], out_path: str, fps: int = 24):
-    """Assemble PNG frames into a video if imageio+ffmpeg are available;
-    otherwise raise with a clear message (frames remain usable as files)."""
+def write_video(frame_paths: Sequence[str], out_path: str, fps: int = 24,
+                **writer_kw):
+    """Assemble PNG frames into a video if imageio+a matching backend are
+    available; otherwise raise with a clear message (frames remain usable as
+    files).  GIF output works everywhere (Pillow backend); mp4 needs ffmpeg.
+    ``writer_kw`` passes through to ``imageio.get_writer`` (e.g. ``loop=0``
+    for an endlessly repeating GIF)."""
     try:
         import imageio.v2 as imageio
     except ImportError as e:  # pragma: no cover
         raise RuntimeError(
             "imageio not available; frames are on disk as PNGs") from e
-    with imageio.get_writer(out_path, fps=fps) as w:
+    with imageio.get_writer(out_path, fps=fps, **writer_kw) as w:
         for p in frame_paths:
             w.append_data(imageio.imread(p))

@@ -65,6 +65,23 @@ def test_render_trajectory_resumable(tmp_path):
     assert sum(1 for r in log2.records if r["event"] == "frame_skipped") == 3
 
 
+def test_write_video_gif(tmp_path):
+    """GIF assembly works without ffmpeg (Pillow backend) and forwards
+    writer kwargs such as loop=0 for endless repetition."""
+    pytest.importorskip("imageio")
+    from schwarzschild_tpu.animation import write_video
+
+    sc = st.empty_scene()
+    cfg = st.RenderConfig(width=24, height=16, max_steps=10,
+                          percent_black=-1.0, checkpoint_every=5)
+    bg = st.solid_color_texture((0.3, 0.2, 0.1, 1.0))
+    out = render_trajectory(sc, cfg, bg, n_frames=2, out_dir=tmp_path,
+                            all_frames_local=True)
+    gif = tmp_path / "anim.gif"
+    write_video([p for _, p in out], gif, fps=12, loop=0)
+    assert gif.exists() and gif.stat().st_size > 0
+
+
 def test_transform_pytree():
     from schwarzschild_tpu.geometry import make_transform
 
