@@ -67,9 +67,13 @@ def render_trajectory(
     if renderer == "fast":
         from .kernel_scene import render_fast
 
+        # Mosaic only exists on TPU; anywhere else (CPU CI, smoke runs) the
+        # kernel must run under the Pallas interpreter.
+        interpret = jax.default_backend() != "tpu"
+
         def _fast(sc, cam, background, tex, r_s):
             img = render_fast(sc, cam, cfg, background, tex, r_s,
-                              overflow="ignore")
+                              overflow="ignore", interpret=interpret)
             return to_uint8(img) if quantize else img
 
         _jit_fast = jax.jit(_fast)

@@ -65,6 +65,19 @@ def test_render_trajectory_resumable(tmp_path):
     assert sum(1 for r in log2.records if r["event"] == "frame_skipped") == 3
 
 
+def test_render_trajectory_fast_path(tmp_path):
+    """renderer="fast" works off-TPU: the driver auto-selects the Pallas
+    interpreter when the backend has no Mosaic."""
+    sc = st.empty_scene()
+    cfg = st.RenderConfig(width=24, height=16, max_steps=10,
+                          percent_black=-1.0, checkpoint_every=0)
+    bg = st.solid_color_texture((0.3, 0.2, 0.1, 1.0))
+    out = render_trajectory(sc, cfg, bg, n_frames=1, out_dir=tmp_path,
+                            all_frames_local=True, renderer="fast")
+    assert (tmp_path / "frame_00000.png").exists()
+    assert len(out) == 1
+
+
 def test_write_video_gif(tmp_path):
     """GIF assembly works without ffmpeg (Pillow backend) and forwards
     writer kwargs such as loop=0 for endless repetition."""
