@@ -32,7 +32,12 @@ def main():
     ap.add_argument("--out", default="/tmp/flyby_r02")
     ap.add_argument("--repo", default="/root/repo",
                     help="where to drop the checked-in artifacts")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon plugin ignores "
+                         "JAX_PLATFORMS=cpu)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     w, h = (int(x) for x in args.size.split("x"))
 
     print("devices:", jax.devices(), flush=True)

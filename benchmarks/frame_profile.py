@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="mechanics smoke run: small shapes, interpret kernel")
     args = ap.parse_args()
+    if args.cpu:
+        # The axon plugin ignores JAX_PLATFORMS=cpu; this is the only way to
+        # keep backend discovery off the (possibly hung) tunnel.
+        jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.devices()[0].platform == "tpu"
     if not (on_tpu or args.cpu):
         raise SystemExit(f"not on TPU ({jax.devices()}); pass --cpu to smoke")

@@ -107,7 +107,13 @@ if __name__ == "__main__":
     ap.add_argument("--renderer", default="jnp", choices=["jnp", "fast"])
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpreter mode (CPU fakes)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon plugin ignores "
+                         "JAX_PLATFORMS=cpu; combine with "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=8)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     sizes = [int(s) for s in args.sizes.split(",")]
     print(json.dumps(run(sizes, args.image_size, args.renderer,
                          args.interpret), indent=2))

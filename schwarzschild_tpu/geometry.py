@@ -17,10 +17,15 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 EPSILON = 1e-7  # black_hole.frag:30
 
-IDENTITY_AXES = jnp.eye(3, dtype=jnp.float32)
+# numpy, not jnp: creating a device array at import time would initialize the
+# JAX backend before callers can pick a platform (jax.config.update), which
+# hangs imports outright when the TPU tunnel is unreachable.  jnp ops convert
+# it on first use.
+IDENTITY_AXES = np.eye(3, dtype=np.float32)
 
 
 class Transform(NamedTuple):

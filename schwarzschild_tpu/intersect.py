@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from . import geometry as geo
 from .scene import (
@@ -43,7 +44,8 @@ _TINY = 1e-20
 # change.  This was the root cause of the round-1 "TPU-only non-finite
 # gradient lanes" known issue.
 _DIV_GUARD = 1e-12
-_INF = jnp.float32(jnp.inf)
+# numpy scalar, not jnp: no device-array creation (= backend init) at import.
+_INF = np.float32(np.inf)
 
 
 def _safe_div(a, b):

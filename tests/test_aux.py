@@ -65,6 +65,27 @@ def test_render_trajectory_resumable(tmp_path):
     assert sum(1 for r in log2.records if r["event"] == "frame_skipped") == 3
 
 
+def test_import_initializes_no_backend():
+    """Importing the package must not create device arrays: backend init at
+    import time hangs every tool (incl. CPU-only test runs) when the TPU
+    tunnel is unreachable, and robs callers of jax.config.update-based
+    platform selection."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, schwarzschild_tpu\n"
+        "from schwarzschild_tpu import configs\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, list(xb._backends)\n"
+        "print('clean')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "clean" in out.stdout
+
+
 def test_render_trajectory_fast_path(tmp_path):
     """renderer="fast" works off-TPU: the driver auto-selects the Pallas
     interpreter when the backend has no Mosaic."""
