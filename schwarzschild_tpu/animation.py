@@ -39,6 +39,7 @@ def render_trajectory(
     overwrite: bool = False,
     all_frames_local: bool = False,
     renderer: str = "jnp",
+    prefetch: int = 2,
 ):
     """Render the hyperbolic flyby.
 
@@ -48,6 +49,11 @@ def render_trajectory(
 
     ``renderer="fast"`` drives the Pallas full-scene kernel
     (kernel_scene.render_fast) — the production path for animation configs.
+
+    ``prefetch`` keeps that many frames in flight ahead of the blocking host
+    fetch (device compute overlaps transfer + PNG encode — the frame-loop
+    analog of the reference's free-running draw calls, main.cpp:303-435);
+    0 = fully serial, per-frame timings non-overlapping.
     """
     if times is None:
         times = np.linspace(0.0, 1.0, n_frames)
@@ -100,28 +106,50 @@ def render_trajectory(
     if out_path:
         out_path.mkdir(parents=True, exist_ok=True)
 
+    # Pipeline: dispatch up to ``prefetch`` frames ahead of the blocking host
+    # fetch, so PNG encode + the device->host transfer of frame i overlap the
+    # device computing frames i+1..i+prefetch (JAX dispatch is async; only
+    # np.asarray blocks).  With prefetch > 0 each frame's logged ``seconds``
+    # is dispatch-to-materialize LATENCY (overlapping neighbours), not
+    # throughput — total wall / n_frames is the throughput; set prefetch=0
+    # for non-overlapping per-frame timings.
+    pending = []  # (idx, png_path_or_None, device_img, running FrameTimer)
+
+    def _drain_one():
+        idx_, f_, dimg, timer = pending.pop(0)
+        # Host fetch as the barrier: through the axon tunnel
+        # block_until_ready can return before the device finishes, but a
+        # full transfer cannot.
+        img = np.asarray(dimg)
+        timer.__exit__(None, None, None)
+        if f_ is not None:
+            from PIL import Image
+
+            Image.fromarray(img).save(f_)  # already uint8 RGB (on device)
+            out.append((idx_, str(f_)))
+        else:
+            out.append((idx_, img))
+
     for idx in frame_ids:
+        f = None
         if out_path:
             f = out_path / f"frame_{idx:05d}.png"
             if f.exists() and not overwrite:
+                while pending:  # keep ``out`` in frame order
+                    _drain_one()
                 out.append((idx, str(f)))
                 logger.log("frame_skipped", frame=idx)
                 continue
         cam = cam_mod.hyperbolic_trajectory(
             base_cam, initial_distance, closest_distance, float(times[idx]))
-        with FrameTimer(logger, idx, cfg.width * cfg.height, cfg.max_steps):
-            img = jit_render(sc, cam, cfg, background, tex, r_s)
-            # Host fetch as the barrier: through the axon tunnel
-            # block_until_ready can return before the device finishes, but a
-            # full transfer cannot.
-            img = np.asarray(img)
-        if out_path:
-            from PIL import Image
-
-            Image.fromarray(img).save(f)  # already uint8 RGB (on device)
-            out.append((idx, str(f)))
-        else:
-            out.append((idx, img))
+        timer = FrameTimer(logger, idx, cfg.width * cfg.height, cfg.max_steps)
+        timer.__enter__()
+        pending.append((idx, f, jit_render(sc, cam, cfg, background, tex,
+                                           r_s), timer))
+        if len(pending) > max(0, prefetch):
+            _drain_one()
+    while pending:
+        _drain_one()
     return out
 
 

@@ -99,6 +99,32 @@ def test_render_trajectory_fast_path(tmp_path):
     assert len(out) == 1
 
 
+def test_render_trajectory_prefetch_identical(tmp_path):
+    """The prefetch pipeline changes scheduling only: frames, ordering, and
+    PNG bytes match the fully-serial loop, including when skipped (resume)
+    frames interleave with rendered ones."""
+    sc = st.empty_scene()
+    cfg = st.RenderConfig(width=24, height=16, max_steps=10,
+                          percent_black=-1.0, checkpoint_every=5)
+    bg = st.solid_color_texture((0.3, 0.2, 0.1, 1.0))
+    a = render_trajectory(sc, cfg, bg, n_frames=4, out_dir=tmp_path / "p0",
+                          all_frames_local=True, prefetch=0)
+    b = render_trajectory(sc, cfg, bg, n_frames=4, out_dir=tmp_path / "p3",
+                          all_frames_local=True, prefetch=3)
+    assert [i for i, _ in a] == [i for i, _ in b] == [0, 1, 2, 3]
+    for (_, pa), (_, pb) in zip(a, b):
+        assert open(pa, "rb").read() == open(pb, "rb").read()
+    # Resume with a hole: frame 1 deleted, 0/2/3 kept -> only 1 re-renders,
+    # output stays in frame order.
+    (tmp_path / "p3" / "frame_00001.png").unlink()
+    log = MetricsLogger()
+    c = render_trajectory(sc, cfg, bg, n_frames=4, out_dir=tmp_path / "p3",
+                          all_frames_local=True, prefetch=3, logger=log)
+    assert [i for i, _ in c] == [0, 1, 2, 3]
+    assert sum(1 for r in log.records if r["event"] == "frame_skipped") == 3
+    assert open(c[1][1], "rb").read() == open(a[1][1], "rb").read()
+
+
 def test_write_video_gif(tmp_path):
     """GIF assembly works without ffmpeg (Pillow backend) and forwards
     writer kwargs such as loop=0 for endless repetition."""
