@@ -26,9 +26,15 @@ class RenderConfig:
     # "hash": portable seeded integer hash (canonical — bit-identical on every
     # backend); "glsl": the reference's fract(sin(dot)) hash (visually
     # faithful but 1-ulp sin() differences make it backend-dependent);
-    # "prng": seeded threefry.
+    # "prng": seeded threefry; "tile": TILE-coherent hash — skipped pixels
+    # come in noise_tile blocks aligned to the Pallas kernel tiles, so the
+    # march's early tile exit actually recovers ~percent_black of the work
+    # (render.tile_hash_rand documents the visual trade-off).
     noise_mode: str = "hash"
     noise_seed: int = 0
+    # Tile shape for noise_mode="tile"; match the march kernel's
+    # (block_h, block_w) so dead noise tiles = dead kernel tiles.
+    noise_tile: tuple = (8, 128)
     raytrace_type: int = cam_mod.CURVED  # frag:36
     curved_percentage: float = 0.5  # frag:37
     crosshair: bool = False  # frag:24

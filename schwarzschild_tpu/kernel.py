@@ -452,12 +452,14 @@ def render_horizon_sky(cam, cfg: RenderConfig, background: Texture, r_s=1.0,
 
     uv_vec = jnp.stack([u_ndc, v_ndc * (H / W)], axis=-1)
     if cfg.percent_black >= 0.0 and cfg.noise_mode != "none":
-        from .render import glsl_rand, pixel_hash_rand
+        from .render import glsl_rand, pixel_hash_rand, tile_hash_rand
 
         if cfg.noise_mode == "glsl":
             rnd = glsl_rand(uv_vec)
         elif cfg.noise_mode == "hash":
             rnd = pixel_hash_rand(W, H, cfg.noise_seed)
+        elif cfg.noise_mode == "tile":
+            rnd = tile_hash_rand(W, H, cfg.noise_seed, cfg.noise_tile)
         else:
             rnd = jax.random.uniform(jax.random.key(cfg.noise_seed), batch)
         noise_skip = ~flat_px & (rnd <= f32(cfg.percent_black))

@@ -832,6 +832,11 @@ def noise_field(cfg: RenderConfig, u_ndc, v_ndc) -> jnp.ndarray:
             return glsl_rand(uv_vec)
         if cfg.noise_mode == "hash":
             return pixel_hash_rand(cfg.width, cfg.height, cfg.noise_seed)
+        if cfg.noise_mode == "tile":
+            from .render import tile_hash_rand
+
+            return tile_hash_rand(cfg.width, cfg.height, cfg.noise_seed,
+                                  cfg.noise_tile)
         return jax.random.uniform(jax.random.key(cfg.noise_seed), u_ndc.shape)
     return jnp.zeros(u_ndc.shape, jnp.float32)
 

@@ -214,6 +214,90 @@ def sample_stack(stack: TextureStack, index, u, v):
     return top + fy * (bot - top)
 
 
+def _compact_rows(cols, want, cap):
+    """Pack the per-lane columns of active (``want``) lanes into ``cap`` rows.
+
+    TPU gathers are per-index latency-bound (docs/tpu_cost_model.md section
+    1), so a texture pass over a batch where only a few % of lanes actually
+    sample pays the full batch's index count.  This gathers the active
+    lanes' inputs as ONE row gather from a packed table, so the caller can
+    sample at ``cap`` lanes and scatter back.
+
+    Returns (rows (cap, F), idx (cap,), cvalid (cap,), dropped (batch,)):
+    ``idx`` indexes the flat batch (fill value = batch size, which jax's
+    default scatter mode DROPS), ``cvalid`` marks real rows, ``dropped``
+    marks active lanes beyond capacity (callers run an exact fallback).
+    """
+    flat_want = want.reshape(-1)
+    bsz = flat_want.shape[0]
+    tab = jnp.concatenate(
+        [c.reshape(bsz, -1).astype(jnp.float32) for c in cols], axis=-1)
+    idx = jnp.nonzero(flat_want, size=cap, fill_value=bsz)[0]
+    n_want = jnp.sum(flat_want.astype(jnp.int32))
+    cvalid = jnp.arange(cap, dtype=jnp.int32) < n_want
+    rows = tab[idx]
+    rank = jnp.cumsum(flat_want.astype(jnp.int32)) - 1
+    dropped = (flat_want & (rank >= cap)).reshape(want.shape)
+    return rows, idx, cvalid, dropped
+
+
+def sample_stack_compact(stack: TextureStack, index, u, v, want, cap):
+    """:func:`sample_stack`, but the gather runs only for ``want`` lanes,
+    compacted into ``cap`` rows (others return 0).  Identical math per lane
+    to the full-batch sampler — the lerp runs on the same inputs — including
+    gradients to ``stack.data`` (the scatter-add transposes to a gather).
+
+    Lanes beyond capacity take a full-batch fallback under a ``lax.cond``
+    that fires only on overflow (rare by construction: callers size ``cap``
+    from the scene's expected textured coverage; a fired cond costs ~2.3x an
+    inline pass — docs/tpu_cost_model.md section 3 — but never drops lanes).
+    Overflow lanes may differ from the inline sampler by ~1 ulp: XLA fuses
+    (FMA-contracts) the cond branch differently.
+    """
+    batch = u.shape
+    rows, idx, cvalid, dropped = _compact_rows(
+        [index, u, v], want, cap)
+    c_idx = rows[:, 0].astype(jnp.int32)
+    sampled = sample_stack(stack, jnp.where(cvalid, c_idx, 0),
+                           jnp.where(cvalid, rows[:, 1], 0.0),
+                           jnp.where(cvalid, rows[:, 2], 0.0))
+    sampled = jnp.where(cvalid[:, None], sampled, 0.0)
+    bsz = int(np.prod(batch))
+    out = jnp.zeros((bsz, 4), jnp.float32).at[idx].add(sampled)
+    out = out.reshape(batch + (4,))
+
+    def full(_):
+        return sample_stack(stack, index, u, v)
+
+    def none(_):
+        return jnp.zeros(batch + (4,), jnp.float32)
+
+    fb = jax.lax.cond(jnp.any(dropped), full, none, None)
+    return jnp.where(dropped[..., None], fb, out)
+
+
+def sample_texture_compact(tex: Texture, u, v, want, cap):
+    """:func:`sample_texture` compacted to ``want`` lanes (see
+    :func:`sample_stack_compact`); the background-pass analog."""
+    batch = u.shape
+    rows, idx, cvalid, dropped = _compact_rows([u, v], want, cap)
+    sampled = sample_texture(tex, jnp.where(cvalid, rows[:, 0], 0.0),
+                             jnp.where(cvalid, rows[:, 1], 0.0))
+    sampled = jnp.where(cvalid[:, None], sampled, 0.0)
+    bsz = int(np.prod(batch))
+    out = jnp.zeros((bsz, 4), jnp.float32).at[idx].add(sampled)
+    out = out.reshape(batch + (4,))
+
+    def full(_):
+        return sample_texture(tex, u, v)
+
+    def none(_):
+        return jnp.zeros(batch + (4,), jnp.float32)
+
+    fb = jax.lax.cond(jnp.any(dropped), full, none, None)
+    return jnp.where(dropped[..., None], fb, out)
+
+
 def with_dtype(tex: Texture, dtype=jnp.bfloat16) -> Texture:
     """Texel-storage precision knob: bf16 texels gather ~1.5x faster on TPU
     (half the slice bytes per index of the latency-bound patch gather) at
