@@ -611,7 +611,15 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
                               act_ref[:] > 0.5, n_slots)
     body = _make_march_body(r_s, tabs, table_rows=table_rows, n_slots=n_slots,
                             max_steps=max_steps, max_angle=max_angle, u_f=u_f)
-    state = jax.lax.fori_loop(0, max_steps, body, state)
+    # Whole-march skip for tiles DEAD AT ENTRY (tile-coherent noise masks,
+    # percent_black=0.75 kills 75% of tiles): the per-step early-exit cond
+    # still pays its any() reduction + branch every step (~2/3 of a live
+    # step, measured round 3), so a dead tile must skip the loop itself.
+    # Identity is exact: with no live lane every step body is the identity.
+    state = jax.lax.cond(
+        jnp.any(state["live"] > 0.5),
+        lambda s: jax.lax.fori_loop(0, max_steps, body, s),
+        lambda s: s, state)
     for ref, val in zip(out_refs, _final_outputs(state, n_slots)):
         ref[:] = val
 
