@@ -34,7 +34,7 @@ class RenderConfig:
     noise_seed: int = 0
     # Tile shape for noise_mode="tile"; match the march kernel's
     # (block_h, block_w) so dead noise tiles = dead kernel tiles.
-    noise_tile: tuple = (8, 128)
+    noise_tile: tuple = (16, 128)
     raytrace_type: int = cam_mod.CURVED  # frag:36
     curved_percentage: float = 0.5  # frag:37
     crosshair: bool = False  # frag:24

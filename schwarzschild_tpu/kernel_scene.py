@@ -625,7 +625,7 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
 
 
 def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
-                n_slots: int = 4, block_h: int = 8, block_w: int = 128,
+                n_slots: int = 4, block_h: int = 16, block_w: int = 128,
                 interpret: bool = False, mesh=None, compact: bool = False,
                 test_ray=None, tex=None):
     """Pallas scene march.  Returns (final_dir, final_pos, status, slots,
@@ -849,6 +849,108 @@ def noise_field(cfg: RenderConfig, u_ndc, v_ndc) -> jnp.ndarray:
     return jnp.zeros(u_ndc.shape, jnp.float32)
 
 
+def _render_fast_tile_sparse(sc, cam, cfg, background, tex, r_s, n_slots,
+                             interpret, overflow, differentiable, test_ray,
+                             skip_empty_slots, opaque_stop, compact_slots):
+    """Static tile pre-compaction for noise-sparse frames.
+
+    With the tile-coherent noise mask (cfg.noise_mode == "tile"), which tiles
+    the reference's percent_black skip kills (frag:879-881, main.cpp:66) is a
+    pure function of STATIC config — so the surviving tiles are a COMPILE
+    TIME constant, and the whole pipeline (march kernel, level composition,
+    every texel fetch) runs on a dense pseudo-image of just those tiles:
+    cost scales with (1 - percent_black) instead of paying full-frame fetch
+    latency for lanes that render black.  Measured at the reference default
+    (1280x720, percent_black=0.75): 30.1 ms full-frame -> see BENCH_r03.
+
+    One runtime wrinkle: RADIAL pixels render flat REGARDLESS of noise (the
+    reference tests radiality before the noise skip, frag:866-881), and
+    radiality depends on the camera.  Noise-dropped tiles containing a
+    radial pixel ride a small dynamic slack (16 tiles, gathered by a
+    runtime nonzero) — far more than the exact-alignment epsilon test can
+    produce (a ~4.5e-4 rad cone around +-origin: a few pixels in at most a
+    couple of tiles).  Beyond-slack radial tiles would render black — a
+    deviation documented here and never observed.
+    """
+    import dataclasses
+
+    f32 = jnp.float32
+    H, W = cfg.height, cfg.width
+    th, tw = cfg.noise_tile
+    nth, ntw = H // th, W // tw
+    nt = nth * ntw
+    from .render import tile_hash_rand_np
+
+    rnd_np = tile_hash_rand_np(W, H, cfg.noise_seed, (th, tw))
+    tile_rnd = rnd_np[::th, ::tw].reshape(-1)
+    keep_static = tile_rnd > cfg.percent_black
+    static_ids = np.nonzero(keep_static)[0].astype(np.int32)
+    SLACK = 16
+
+    u_ndc, v_ndc = cam_mod.pixel_grid(W, H)
+    origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc, W, H)
+    radial = physics.is_radial(direction, geo.safe_normalize(origin))
+
+    def tz(x):
+        xx = x.reshape((nth, th, ntw, tw) + x.shape[2:])
+        return jnp.moveaxis(xx, 2, 1).reshape((nt, th, tw) + x.shape[2:])
+
+    dropped_np = jnp.asarray(~keep_static)
+    radial_t = jnp.any(tz(radial), axis=(1, 2)) & dropped_np
+    dyn_ids = jnp.nonzero(radial_t, size=SLACK, fill_value=nt)[0]
+    ids = jnp.concatenate([jnp.asarray(static_ids), dyn_ids.astype(jnp.int32)])
+    capk = int(ids.shape[0])
+    valid_row = jnp.concatenate([
+        jnp.ones(len(static_ids), bool), dyn_ids < nt])
+
+    def gather_plane(x):
+        rows = tz(x)[ids]  # fill ids clamp; garbage dropped at scatter
+        return rows.reshape((capk * th, tw) + rows.shape[3:])
+
+    # Invalid slack rows get rnd=0 (<= percent_black >= 0) so every lane in
+    # them is noise-skipped: no march work, no slot recordings.
+    rnd_g = gather_plane(jnp.asarray(rnd_np))
+    rnd_g = jnp.where(jnp.repeat(valid_row, th)[:, None], rnd_g, 0.0)
+    pre = dict(origin=gather_plane(origin), direction=gather_plane(direction),
+               u_ndc=gather_plane(u_ndc), v_ndc=gather_plane(v_ndc),
+               rnd=rnd_g)
+    inner_cfg = dataclasses.replace(cfg, crosshair=False)
+    out = render_fast(sc, None, inner_cfg, background, tex, r_s,
+                      n_slots=n_slots, interpret=interpret,
+                      overflow="ignore" if overflow == "ignore" else "return",
+                      differentiable=differentiable, test_ray=test_ray,
+                      skip_empty_slots=skip_empty_slots,
+                      opaque_stop=opaque_stop, compact_slots=compact_slots,
+                      precomputed=pre)
+    img_d, n_over = out if overflow != "ignore" else (out, None)
+
+    rows = img_d.reshape((capk, th, tw, 4))
+    full_t = jnp.zeros((nt, th, tw, 4), f32).at[ids].set(rows)
+    img = jnp.moveaxis(full_t.reshape(nth, ntw, th, tw, 4), 1, 2)
+    img = img.reshape(H, W, 4)
+    if cfg.crosshair:
+        # Crosshair shows over skipped tiles too (the reference draws it
+        # before the noise test, frag:845-857) — add it on the full frame.
+        ch = crosshair_mask(u_ndc, v_ndc, W, H)
+        img = img + jnp.where(ch[..., None], jnp.array(CROSSHAIR_COLOR, f32),
+                              0.0)
+    if overflow == "ignore":
+        return img
+    if overflow == "return":
+        return img, n_over
+    # "warn": mirror render_fast's host-side degradation.
+    if not isinstance(n_over, jax.core.Tracer):
+        import warnings
+
+        n = int(n_over)
+        if n:
+            warnings.warn(
+                f"render_fast: {n} rays exceeded n_slots={n_slots} "
+                "recording slots (extra translucent hits dropped; raise "
+                "n_slots)")
+    return img
+
+
 def render_fast(
     sc: Scene,
     cam: cam_mod.Camera,
@@ -892,20 +994,22 @@ def render_fast(
     validity-march replay + the K slot shading passes, NOT the dense
     100-intersect/shade twin).
 
-    ``compact_slots`` compacts the SPARSE trailing slot passes: slot k >= 1
-    is typically active for only a few % of lanes (the demo scene records a
-    second hit on 13% of pixels, a third on 2%, a fourth on ~0.005%), yet a
-    full-batch pass pays the per-index texture-gather latency for EVERY lane.
-    A compacted pass gathers the active lanes' ray data into a fixed-size
-    buffer (one row gather), runs intersect+shade at that smaller batch, and
-    scatter-adds the results back — same math per lane, so the image is
-    unchanged.  Lanes beyond a slot's static capacity (rare by construction)
-    fall back to a full-batch pass under a ``lax.cond`` that fires only on
-    overflow, keeping exact parity.
-      * "auto" (default): slot k >= 1 gets capacity ``n_pixels / 4**k``;
-      * None: round-1 behavior, every slot pass runs at full batch;
-      * a sequence of per-slot capacities (None entries = full pass), e.g.
-        ``(None, 65536, 16384, 4096)`` — must cover ``n_slots`` slots.
+    ``compact_slots`` compacts the trailing passes' TEXEL FETCHES (round 3:
+    the passes themselves are full-batch elementwise — measured free on TPU —
+    and only the gathers are compacted; see the composition comment in the
+    body).  Trailing passes are active for only a few % of lanes (the demo
+    scene records a second hit on ~13% of pixels, a third on ~2%), yet a
+    full-batch fetch pays the per-index gather latency for EVERY lane.
+      * "auto" (default): trailing pass k fetches at capacity
+        ``n_pixels / 4**min(k, 3)``, the final background at ``n_pixels/4``;
+        forced off under ``mesh`` (global nonzero/scatter would reshard);
+      * None: every fetch runs at full batch;
+      * a sequence of per-pass capacities (None entries = full fetch).
+    Lanes beyond a capacity take a full-batch fallback under a ``lax.cond``
+    that fires only on overflow (never drops lanes; ~1 ulp fusion tolerance —
+    textures.atlas_fetch_compact).  Ignored for trilinear (legacy full-pass
+    path; screen-space LOD needs the full grid).  ``skip_empty_slots`` only
+    affects the trilinear path for the same reason.
 
     ``precomputed``: dict with keys ``origin``, ``direction`` (each
     batch+(3,)), ``u_ndc``, ``v_ndc``, ``rnd`` (each batch-shaped) replacing
@@ -922,6 +1026,19 @@ def render_fast(
     trilinear = cfg.texture_filter == "trilinear"
     if cfg.texture_filter not in ("bilinear", "trilinear"):
         raise ValueError(f"unknown texture_filter {cfg.texture_filter!r}")
+    if (precomputed is None and mesh is None and not trilinear
+            and cfg.noise_mode == "tile" and cfg.percent_black > 0.0
+            and cfg.raytrace_type == cam_mod.CURVED
+            and compact_slots is not None
+            and H % cfg.noise_tile[0] == 0 and W % cfg.noise_tile[1] == 0
+            and H * W >= 16 * cfg.noise_tile[0] * cfg.noise_tile[1]):
+        # Tile-coherent noise masks kill whole tiles at STATIC config — run
+        # the entire pipeline on just the surviving tiles (march, levels,
+        # fetches all scale by ~(1 - percent_black)).
+        return _render_fast_tile_sparse(
+            sc, cam, cfg, background, tex, r_s, n_slots, interpret, overflow,
+            differentiable, test_ray, skip_empty_slots, opaque_stop,
+            compact_slots)
     if trilinear:
         from .textures import build_mips
 
@@ -978,20 +1095,31 @@ def render_fast(
         slots = []
         nhits = jnp.zeros(batch, f32)
 
-    # Slot shading: re-intersect each recorded segment with the full jnp
-    # machinery and compose additively with the first-opaque cutoff.
+    # ------------------------------------------------------------------
+    # Composition.  Two paths:
     #
-    # The far-field/flat ray (flat pixels + STATUS_FLAT_FINISH far-field
-    # continuations, an unbounded straight intersect — frag:905-918's
-    # far-field rule) FOLDS into each lane's first free recording slot
-    # instead of running as a separate full-batch pass: the per-lane slot
-    # order is preserved (recorded hits occupy slots [0, n_rec); the far ray
-    # rides slot n_rec, which the loop reaches after every recorded hit), so
-    # first-opaque compositing is unchanged while one full intersect+shade
-    # pass disappears.  Lanes with ALL slots recorded AND a far ray (has to
-    # cross > n_slots translucent surfaces) take a rare lax.cond residual
-    # pass, keeping exact render() parity.
+    #   * bilinear (the parity default) — the ATLAS path: every pass runs
+    #     full-batch ELEMENTWISE (intersect + Phong arithmetic measure ~0.05
+    #     ms per 512^2 pass on v5e — free), and the only gathers are texel
+    #     fetches: ONE full-batch merged-atlas fetch in pass 0 (each lane
+    #     fetches its hit's texel OR its sky texel), small compacted fetches
+    #     for the trailing passes and the final background.  This is what
+    #     turned the 40 ms round-2 frame into a march-bound one: the round-2
+    #     pipeline paid a full texture pass (~7.1 ms, all gather machinery)
+    #     per slot plus a full background gather (4.7 ms).
+    #
+    #   * trilinear (opt-in, beyond reference) — the legacy per-pass path:
+    #     screen-space LOD needs full-grid sampling, so each pass samples
+    #     through the mip machinery at full batch.
+    #
+    # Both compose identically: slots in order, additive, first-opaque
+    # cutoff (frag:930-932), background for still-open lanes (frag:935).
+    # The far-field/flat ray folds into each lane's first free slot; lanes
+    # with ALL slots recorded AND a far ray ride the trailing residual pass.
     from .scene import OBJECT_TYPE_SPECIAL
+    from .shading import (_concrete_none_negative, _shade_lit, equirect_uv,
+                          texel_request)
+    from .shading import _gather as _table_gather
 
     use_pos = jnp.where(flat_px[..., None], origin, fpos)
     use_dir = jnp.where(flat_px[..., None], direction, fdir)
@@ -1008,197 +1136,24 @@ def render_fast(
     # (the kernel fills slots in order).
     n_rec = sum((r.astype(jnp.int32) for r in recs),
                 jnp.zeros(batch, jnp.int32))
-
-    def make_pass(start, sdir, slen, rec, fold):
-        def run(_):
-            # Unrecorded lanes carry zero vectors; their results are masked
-            # out by ``rec`` below, but a zero direction sends NaNs through
-            # the BACKWARD pass of intersect/shade (0*inf through the where),
-            # so substitute a harmless unit ray first.  Folded lanes shoot
-            # the unbounded far ray (window -1).
-            safe_dir = jnp.where(fold[..., None], use_dir,
-                                 jnp.where(rec[..., None], sdir,
-                                           jnp.array([1.0, 0.0, 0.0], f32)))
-            safe_start = jnp.where(fold[..., None], use_pos, start)
-            # Inflate the window slightly: the kernel's f32 lambda and the
-            # jnp recomputation differ by ~1 ulp, and a recorded hit must not
-            # fall off the end of its own segment.
-            window = jnp.where(fold, -1.0,
-                               jnp.where(rec, slen * 1.0001 + 1e-5, 1.0))
-            hit = intersect_scene(safe_start, safe_dir, window, sc, r_s,
-                                  test_ray=test_ray)
-            rgba = shade(hit, -safe_dir, sc, tex, trilinear=trilinear)
-            return rgba, hit.valid, hit.obj_type == OBJECT_TYPE_SPECIAL
-
-        def empty(_):
-            return (jnp.zeros(batch + (4,), f32), jnp.zeros(batch, bool),
-                    jnp.zeros(batch, bool))
-
-        return run, empty
-
     bsz = int(np.prod(batch))
-    if compact_slots == "auto" and (mesh is not None or trilinear):
-        # Compaction's nonzero/cumsum/gather are GLOBAL ops: under a device
-        # mesh they would reshard every lane through ICI instead of staying
-        # tile-local.  Sharded frames keep the full-batch passes unless the
-        # caller explicitly asks (per-shard compaction would need the slot
-        # passes inside shard_map, which plain XLA SPMD handles fine today).
-        # Trilinear LOD likewise needs the 2-D pixel grid — its screen-space
-        # derivatives (textures.screen_space_lod) have no meaning on a
-        # compacted 1-D lane list.
-        compact_slots = None
-    if trilinear and compact_slots is not None:
-        raise ValueError(
-            "compact_slots is incompatible with texture_filter='trilinear' "
-            "(screen-space LOD needs the 2-D pixel grid)")
-    if compact_slots == "auto":
-        caps = [None] + [bsz // (4 ** k) for k in range(1, len(slots))]
-    elif compact_slots is None:
-        caps = [None] * len(slots)
-    else:
-        caps = list(compact_slots)
-        if len(caps) < len(slots):
-            raise ValueError(
-                f"compact_slots covers {len(caps)} slots, need {len(slots)}")
-    # A capacity only pays off when it is a real shrink; tiny images (tests)
-    # and near-full capacities take the plain full-batch pass.
-    caps = [c if (c is not None and 2 * c <= bsz) else None for c in caps]
-
-    def compacted_pass(start, sdir, slen, rec, fold, eff, cap):
-        """Run one slot pass at capacity ``cap`` instead of full batch.
-
-        Active lanes' per-ray data rides ONE row gather from a packed
-        (bsz, 15) table (TPU XLA gathers are per-index latency-bound, so one
-        15-wide row costs the same as one scalar); results scatter-add back
-        into the full frame.  Returns full-batch (rgba, hvalid, is_bh) plus
-        the ``dropped`` mask of active lanes beyond capacity (handled by the
-        caller's rare full-batch residual).
-        """
-        flat_eff = eff.reshape(bsz)
-        eff_i = flat_eff.astype(jnp.int32)
-        n_eff = jnp.sum(eff_i)
-        # Out-of-range fill: gather CLAMPS (reads lane bsz-1, masked off via
-        # cvalid below), scatter DROPS (jax default modes under jit).
-        idx = jnp.nonzero(flat_eff, size=cap, fill_value=bsz)[0]
-        cvalid = jnp.arange(cap, dtype=jnp.int32) < n_eff
-        tab = jnp.concatenate([
-            start.reshape(bsz, 3), sdir.reshape(bsz, 3),
-            use_pos.reshape(bsz, 3), use_dir.reshape(bsz, 3),
-            slen.reshape(bsz, 1),
-            rec.reshape(bsz, 1).astype(f32),
-            fold.reshape(bsz, 1).astype(f32),
-        ], axis=-1)
-        rows = tab[idx]
-        c_rec = (rows[:, 13] > 0.5) & cvalid
-        c_fold = (rows[:, 14] > 0.5) & cvalid
-        # Same safe-ray substitution as make_pass: inactive lanes (incl. the
-        # clamped fill rows) march a harmless unit ray so the backward pass
-        # stays NaN-free.
-        safe_dir = jnp.where(c_fold[:, None], rows[:, 9:12],
-                             jnp.where(c_rec[:, None], rows[:, 3:6],
-                                       jnp.array([1.0, 0.0, 0.0], f32)))
-        safe_start = jnp.where(c_fold[:, None], rows[:, 6:9], rows[:, 0:3])
-        window = jnp.where(c_fold, -1.0,
-                           jnp.where(c_rec, rows[:, 12] * 1.0001 + 1e-5, 1.0))
-        hit = intersect_scene(safe_start, safe_dir, window, sc, r_s,
-                              test_ray=test_ray)
-        rgba = shade(hit, -safe_dir, sc, tex, trilinear=trilinear)
-        pay = jnp.concatenate([
-            rgba,
-            hit.valid[:, None].astype(f32),
-            (hit.obj_type == OBJECT_TYPE_SPECIAL)[:, None].astype(f32),
-        ], axis=-1)
-        pay = jnp.where((c_rec | c_fold)[:, None], pay, 0.0)
-        out = jnp.zeros((bsz, 6), f32).at[idx].add(pay)
-        rgba_f = out[:, 0:4].reshape(batch + (4,))
-        hvalid = (out[:, 4] > 0.5).reshape(batch)
-        is_bh = (out[:, 5] > 0.5).reshape(batch)
-        pos = jnp.cumsum(eff_i) - 1  # rank of each active lane
-        dropped = (flat_eff & (pos >= cap)).reshape(batch)
-        return rgba_f, hvalid, is_bh, dropped
-
-    def maybe_pass(eff, run, empty):
-        # skip_empty_slots=True runtime-skips slots nobody filled or folded
-        # into (lax.cond executes one branch only under jit).  Default OFF:
-        # on TPU a cond branch receives the texture stack as a branch
-        # OPERAND, which knocks the bilinear patch gather off XLA's fast
-        # constant-operand path (~17 ms vs ~7.5 ms per 512^2 pass on v5e) —
-        # a cond that FIRES costs 2.3x an unconditional pass, and even one
-        # recorded lane fires it.  Measured on the demo scene: inline 41 ms
-        # vs cond 79 ms per 512^2 frame, bit-identical images.  Turn it on
-        # only when trailing slots are usually COMPLETELY empty and the
-        # occasional slow frame is acceptable.
-        if skip_empty_slots:
-            return jax.lax.cond(jnp.any(eff), run, empty, None)
-        return run(None)
-
-    def composite(eff, rgba, hvalid, is_bh):
-        nonlocal color, captured_shaded, open_
-        take = eff & open_ & hvalid
-        opaque_take = take & (rgba[..., 3] == 1.0)
-        color = color + jnp.where(take[..., None], rgba, 0.0)
-        captured_shaded = captured_shaded | (opaque_take & is_bh)
-        open_ = open_ & ~opaque_take
-
     zeros3 = jnp.zeros(batch + (3,), f32)
-    for k, ((start, sdir, slen), rec) in enumerate(zip(slots, recs)):
-        fold_k = needs_far & (n_rec == k)
-        eff = rec | fold_k
-        if caps[k] is not None:
-            rgba, hvalid, is_bh, dropped = compacted_pass(
-                start, sdir, slen, rec, fold_k, eff, caps[k])
-            composite(eff & ~dropped, rgba, hvalid, is_bh)
-            # Capacity overflow (rare by construction): the dropped lanes
-            # take a full-batch pass under a cond that fires only then —
-            # compaction never changes the image, only the schedule.
-            run_d, empty_d = make_pass(start, sdir, slen, rec & dropped,
-                                       fold_k & dropped)
-            rgba, hvalid, is_bh = jax.lax.cond(jnp.any(dropped), run_d,
-                                               empty_d, None)
-            composite(dropped, rgba, hvalid, is_bh)
-        else:
-            run, empty = make_pass(start, sdir, slen, rec, fold_k)
-            rgba, hvalid, is_bh = maybe_pass(eff, run, empty)
-            composite(eff, rgba, hvalid, is_bh)
+    unit_x = jnp.array([1.0, 0.0, 0.0], f32)
 
-    # Residual far rays: every slot recorded AND far-field continuation
-    # (rare: > n_slots translucent crossings + far exit), or FLAT mode where
-    # there are no slots at all to fold into.
-    residual = needs_far & (n_rec >= len(slots))
-    run, empty = make_pass(zeros3, zeros3, jnp.zeros(batch, f32),
-                           jnp.zeros(batch, bool), residual)
-    if cfg.raytrace_type == cam_mod.FLAT or (not slots):
-        # FLAT mode has no recording slots: the "residual" pass IS the whole
-        # render — run it inline (a fired cond pays the slow-gather path).
-        rgba, hvalid, is_bh = run(None)
-    else:
-        # Curved modes: residual is RARE by construction (every slot full +
-        # far-field exit) — cond-skip it even with skip_empty_slots=False.
-        rgba, hvalid, is_bh = jax.lax.cond(jnp.any(residual), run, empty,
-                                           None)
-    composite(residual, rgba, hvalid, is_bh)
-
-    # Background: every lane still open shows the sky — except captured rays
-    # (capture is opaque black even when its slot was dropped by overflow,
-    # so excluding STATUS_CAPTURED keeps the shadow opaque instead of leaking
-    # sky through it).
-    march_bg = open_ & (flat_px
-                        | (march_px & (status != STATUS_CAPTURED)))
-    bg = get_background(background, use_dir, trilinear=trilinear)
-
-    if cfg.horizon_softness > 0.0:
-        # Soft shadow silhouette (identical to render.py:297-329): every
-        # background contribution is scaled by 1 - sigmoid of the photon's
-        # conserved impact parameter against b_crit = 3*sqrt(3)/2 r_s, and
-        # captured rays add the scaled background on top of their hard black.
+    # Soft shadow silhouette prelude (identical math to render.py:297-329):
+    # every background contribution is scaled by 1 - sigmoid of the photon's
+    # conserved impact parameter against b_crit = 3*sqrt(3)/2 r_s; computed
+    # up front because the atlas path composes some background in pass 0.
+    soft = cfg.horizon_softness > 0.0
+    if soft:
         s_soft = jnp.float32(cfg.horizon_softness)
         tangent_vec0 = geo.safe_normalize(
             geo.cross(geo.cross(normal_vec0, direction), normal_vec0))
-        u0 = 1.0 / geo.length(origin)
+        u0_ = 1.0 / geo.length(origin)
         dt0 = geo.dot(direction, tangent_vec0)
         dt0 = jnp.where(jnp.abs(dt0) < 1e-12, 1e-12, dt0)
-        du0 = -u0 * geo.dot(direction, normal_vec0) / dt0
-        e0 = du0 * du0 + u0 * u0 * (1.0 - r_s * u0)
+        du0 = -u0_ * geo.dot(direction, normal_vec0) / dt0
+        e0 = du0 * du0 + u0_ * u0_ * (1.0 - r_s * u0_)
         b_geo = 1.0 / jnp.sqrt(jnp.maximum(e0, 1e-20))
         b_crit = jnp.float32(1.5 * jnp.sqrt(3.0)) * r_s
         b_flat = geo.safe_length(geo.cross(use_pos, use_dir))
@@ -1208,16 +1163,109 @@ def render_fast(
         # impact parameter; marched rays the conserved geodesic one.
         alpha_sh = jnp.where(needs_far, alpha_flat, alpha_curved)
         bg_scale = (1.0 - alpha_sh)[..., None]
-
-        # BH hits through the folded far passes already landed in
-        # captured_shaded; dropped capture slots (overflow) leave open_ true
-        # with status CAPTURED — they still count as captured here.
-        captured_m = (captured_shaded
-                      | (march_px & (status == STATUS_CAPTURED) & open_))
-        bg_mask = march_bg | captured_m
-        color = color + jnp.where(bg_mask[..., None], bg * bg_scale, 0.0)
     else:
-        color = color + jnp.where(march_bg[..., None], bg, 0.0)
+        bg_scale = jnp.ones(batch + (1,), f32)
+
+    bg_hard = flat_px | (march_px & (status != STATUS_CAPTURED))
+
+    def composite(eff, rgba, hvalid, is_bh):
+        nonlocal color, captured_shaded, open_
+        take = eff & open_ & hvalid
+        opaque_take = take & (rgba[..., 3] == 1.0)
+        color = color + jnp.where(take[..., None], rgba, 0.0)
+        captured_shaded = captured_shaded | (opaque_take & is_bh)
+        open_ = open_ & ~opaque_take
+
+    if not trilinear:
+        # ---------------- atlas path (bilinear) ----------------
+        # The tile-compacted level engine (see compose.py): full-batch
+        # elementwise geometry, ONE merged texel-or-sky fetch per lane per
+        # level, trailing levels tile-compacted to the (clustered) lanes
+        # that still have work.
+        from .compose import compose_atlas
+        from .textures import build_atlas_cached
+
+        atlas = build_atlas_cached(background, tex)
+        bgu, bgv = equirect_uv(use_dir)
+        cap_drop = march_px & (status == STATUS_CAPTURED)
+        # Tile compaction's nonzero/gather/scatter are global ops: under a
+        # device mesh (march sharded via shard_map, composition under the
+        # SPMD partitioner) they would reshard through ICI — run the levels
+        # full-frame there.  (sharding.make_sharded_render's fast path runs
+        # this WHOLE function per-shard via ``precomputed`` inside one
+        # shard_map, where the compaction is tile-local and fine.)
+        c_atlas, open_, captured_shaded = compose_atlas(
+            sc, tex, atlas, r_s,
+            slots=slots, recs=recs, n_rec=n_rec, needs_far=needs_far,
+            use_pos=use_pos, use_dir=use_dir, bgu=bgu, bgv=bgv,
+            bg_hard=bg_hard, bg_scale=bg_scale, soft=soft,
+            cap_drop=cap_drop, open_init=open_, test_ray=test_ray,
+            compact_tiles=(compact_slots is not None and mesh is None))
+        color = color + c_atlas
+    else:
+        # ---------------- legacy path (trilinear) ----------------
+        # Screen-space LOD needs the full 2-D pixel grid per sampling pass,
+        # so each pass runs the full shade() machinery; compact_slots is
+        # rejected above for trilinear.
+        def make_pass(start, sdir, slen, rec, fold):
+            def run(_):
+                safe_dir = jnp.where(fold[..., None], use_dir,
+                                     jnp.where(rec[..., None], sdir, unit_x))
+                safe_start = jnp.where(fold[..., None], use_pos, start)
+                window = jnp.where(fold, -1.0,
+                                   jnp.where(rec, slen * 1.0001 + 1e-5, 1.0))
+                hit = intersect_scene(safe_start, safe_dir, window, sc, r_s,
+                                      test_ray=test_ray)
+                rgba = shade(hit, -safe_dir, sc, tex, trilinear=trilinear)
+                return rgba, hit.valid, hit.obj_type == OBJECT_TYPE_SPECIAL
+
+            def empty(_):
+                return (jnp.zeros(batch + (4,), f32),
+                        jnp.zeros(batch, bool), jnp.zeros(batch, bool))
+
+            return run, empty
+
+        def maybe_pass(eff, run, empty):
+            # skip_empty_slots=True runtime-skips slots nobody filled or
+            # folded into (lax.cond executes one branch only under jit).
+            # Default OFF: on TPU a cond branch receives the texture stack
+            # as a branch OPERAND, knocking the gather off XLA's
+            # constant-operand fast path (docs/tpu_cost_model.md section 3).
+            if skip_empty_slots:
+                return jax.lax.cond(jnp.any(eff), run, empty, None)
+            return run(None)
+
+        for k, ((start, sdir, slen), rec) in enumerate(zip(slots, recs)):
+            fold_k = needs_far & (n_rec == k)
+            eff = rec | fold_k
+            run, empty = make_pass(start, sdir, slen, rec, fold_k)
+            rgba, hvalid, is_bh = maybe_pass(eff, run, empty)
+            composite(eff, rgba, hvalid, is_bh)
+
+        # Residual far rays: every slot recorded AND far-field continuation
+        # (rare), or FLAT mode where there are no slots at all to fold into.
+        residual = needs_far & (n_rec >= len(slots))
+        run, empty = make_pass(zeros3, zeros3, jnp.zeros(batch, f32),
+                               jnp.zeros(batch, bool), residual)
+        if cfg.raytrace_type == cam_mod.FLAT or (not slots):
+            rgba, hvalid, is_bh = run(None)
+        else:
+            rgba, hvalid, is_bh = jax.lax.cond(jnp.any(residual), run, empty,
+                                               None)
+        composite(residual, rgba, hvalid, is_bh)
+
+        # Background: every lane still open shows the sky — except captured
+        # rays (capture is opaque black even when its slot was dropped by
+        # overflow, so excluding STATUS_CAPTURED keeps the shadow opaque).
+        march_bg = open_ & bg_hard
+        bg = get_background(background, use_dir, trilinear=trilinear)
+        if soft:
+            captured_m = (captured_shaded
+                          | (march_px & (status == STATUS_CAPTURED) & open_))
+            bg_mask = march_bg | captured_m
+            color = color + jnp.where(bg_mask[..., None], bg * bg_scale, 0.0)
+        else:
+            color = color + jnp.where(march_bg[..., None], bg, 0.0)
 
     img = base + color
     if overflow == "ignore":

@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import camera as cam_mod
 from . import geometry as geo
@@ -107,6 +108,32 @@ def tile_hash_rand(width, height, seed=0, tile=(8, 128)):
     h = h * u32(0x846CA68B)
     h = h ^ (h >> 16)
     return h.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)  # / 2^32
+
+
+def tile_hash_rand_np(width, height, seed=0, tile=(16, 128)):
+    """Numpy twin of :func:`tile_hash_rand` — bit-identical by construction
+    (same uint32 lowbias32 pipeline, wrapping arithmetic).
+
+    Exists so the fast renderer's STATIC tile pre-compaction can evaluate
+    the noise mask at trace time without creating device ops: which tiles
+    the mask kills is a pure function of (width, height, seed, tile,
+    percent_black), all static config — so the kill list can be a compile
+    time constant (kernel_scene._render_fast_tile_sparse)."""
+    u32 = np.uint32
+    th, tw = tile
+    ty = (np.arange(height, dtype=np.int64)[:, None] // th).astype(u32)
+    ty = np.broadcast_to(ty, (height, width))
+    tx = (np.arange(width, dtype=np.int64)[None, :] // tw).astype(u32)
+    tx = np.broadcast_to(tx, (height, width))
+    n_tx = u32(-(-width // tw))
+    with np.errstate(over="ignore"):
+        h = ty * n_tx + tx + u32(seed & 0xFFFFFFFF) * u32(0x9E3779B9)
+        h = h ^ (h >> u32(16))
+        h = h * u32(0x7FEB352D)
+        h = h ^ (h >> u32(15))
+        h = h * u32(0x846CA68B)
+        h = h ^ (h >> u32(16))
+    return h.astype(np.float32) * np.float32(2.3283064365386963e-10)
 
 
 class MarchState(NamedTuple):

@@ -63,43 +63,35 @@ def _concrete_none_negative(idx) -> bool:
         return False
 
 
-def shade(
-    hit: Hit,
-    view_dir,
-    sc: Scene,
-    tex: Optional[TextureStack] = None,
-    trilinear: bool = False,
-) -> jnp.ndarray:
-    """Lighting for a batch of hits; returns RGBA (..., 4).
+class TexelRequest(NamedTuple):
+    """A batch of hits' texture-fetch request (see :func:`texel_request`)."""
 
-    ``view_dir`` points from the surface towards the camera (-ray.dir,
-    frag:818).  Result is only meaningful where ``hit.valid``; callers mask.
+    u: jnp.ndarray  # (...,) sample u for sample_stack / the fetch atlas
+    v: jnp.ndarray  # (...,)
+    index: jnp.ndarray  # (...,) int32 — stack texture index
+    use_tex: jnp.ndarray  # (...,) bool — base color comes from the texture
+    uv: jnp.ndarray  # (..., 2) post-swap/invert uv (normal-map input)
+    cont_u: jnp.ndarray  # (...,) continuous (pre-mod) coords for LOD
+    cont_v: jnp.ndarray  # (...,)
 
-    ``trilinear``: LOD-aware texture minification (requires ``tex.mips`` and
-    an (H, W) image-grid batch for the screen-space derivatives).  False =
-    level-0 bilinear, the reference's actual behavior (its GL_LINEAR min
-    filter never samples mips — image_utils.cpp:17,113).
+
+def texel_request(hit: Hit, sc: Scene, tex: TextureStack) -> TexelRequest:
+    """The texture-fetch REQUEST of a batch of hits, without fetching.
+
+    Replicates shade()'s uv pipeline (swap/invert frag:373-380, size rescale
+    frag:384, plane tiling window frag:387-400): ``(u, v, index)`` are the
+    exact arguments shade() passes to :func:`textures.sample_stack` and
+    ``use_tex`` masks lanes whose base color comes from the texture.  Callers
+    fetch through whatever machinery fits the pass (full-batch merged atlas,
+    compacted fetch) and hand the texel to :func:`shade_from_base`;
+    ``shade(...)`` is the reference composition of the two.
     """
     m = sc.materials
     mi = jnp.clip(hit.mat_idx, 0, m.color.shape[0] - 1)
-    color = _gather(m.color, mi)
-    ambient = _gather(m.ambient, mi)
-    diffuse_k = _gather(m.diffuse, mi)
-    specular_k = _gather(m.specular, mi)
-    shininess = _gather(m.shininess, mi)
     texture_index = _gather(m.texture_index, mi)
-    normal_map_index = _gather(m.normal_map_index, mi)
     invert_uv_x = _gather(m.invert_uv_x, mi)
     invert_uv_y = _gather(m.invert_uv_y, mi)
     swap_uvs = _gather(m.swap_uvs, mi)
-    double_sided = _gather(m.double_sided_normals, mi)
-    flip_normals = _gather(m.flip_normals, mi)
-
-    # flip_normals (frag:371).
-    normal = jnp.where(flip_normals[..., None], -hit.normal, hit.normal)
-
-    # Single-sided cull (frag:372): returns transparent black.
-    culled = (~double_sided) & (geo.dot(normal, view_dir) < 0.0)
 
     # UV transforms (frag:373-380): first swap, then invert; inversion uses
     # the plane's texture_size for planes, 1 otherwise.
@@ -107,90 +99,80 @@ def shade(
     uv = jnp.where(swap_uvs[..., None], uv[..., ::-1], uv)
     is_plane = hit.obj_type == OBJECT_TYPE_PLANE
     inv_extent = jnp.where(
-        is_plane[..., None], hit.plane_tex_size, jnp.ones_like(hit.plane_tex_size)
-    )
+        is_plane[..., None], hit.plane_tex_size,
+        jnp.ones_like(hit.plane_tex_size))
     ux = jnp.where(invert_uv_x, inv_extent[..., 0] - uv[..., 0], uv[..., 0])
     uy = jnp.where(invert_uv_y, inv_extent[..., 1] - uv[..., 1], uv[..., 1])
     uv = jnp.stack([ux, uy], axis=-1)
 
-    base_color = color
-    if tex is not None:
-        tex_sizes = _gather(tex.sizes, jnp.clip(texture_index, 0, tex.sizes.shape[0] - 1))
-        rescaled_uv = uv * tex_sizes / tex.max_size
+    tex_sizes = _gather(tex.sizes,
+                        jnp.clip(texture_index, 0, tex.sizes.shape[0] - 1))
+    rescaled_uv = uv * tex_sizes / tex.max_size
+    # Plane texture tiling window (frag:387-400).
+    plane_uv_src = rescaled_uv - hit.plane_tex_offset
+    plane_window_uv = plane_uv_src / jnp.maximum(hit.plane_tex_size, 1e-12)
+    plane_tiled = jnp.mod(plane_uv_src, hit.plane_tex_size) / jnp.maximum(
+        hit.plane_tex_size, 1e-12)
+    in_window = (
+        (plane_window_uv[..., 0] >= 0.0)
+        & (plane_window_uv[..., 0] <= 1.0)
+        & (plane_window_uv[..., 1] >= 0.0)
+        & (plane_window_uv[..., 1] <= 1.0)
+    )
+    render_color = jnp.where(is_plane, hit.plane_repeat | in_window, True)
+    sample_uv = jnp.where(is_plane[..., None], plane_tiled, rescaled_uv)
+    use_tex = (texture_index >= 0) & render_color
+    # Continuous (pre-mod) texel coordinates — the implicit-LOD input for
+    # trilinear minification.
+    cont_uv = jnp.where(
+        is_plane[..., None],
+        plane_uv_src / jnp.maximum(hit.plane_tex_size, 1e-12),
+        rescaled_uv)
+    return TexelRequest(sample_uv[..., 0], sample_uv[..., 1], texture_index,
+                        use_tex, uv, cont_uv[..., 0], cont_uv[..., 1])
 
-        # Plane texture tiling window (frag:387-400).
-        plane_uv_src = rescaled_uv - hit.plane_tex_offset
-        plane_window_uv = plane_uv_src / jnp.maximum(hit.plane_tex_size, 1e-12)
-        plane_tiled = jnp.mod(plane_uv_src, hit.plane_tex_size) / jnp.maximum(
-            hit.plane_tex_size, 1e-12
+
+def shade_from_base(hit: Hit, view_dir, sc: Scene, base_color) -> jnp.ndarray:
+    """Phong lighting + special-type overrides given an already-resolved
+    ``base_color`` (material color or fetched texel) — shade() minus the
+    texture machinery, with NO gathers beyond the small material tables.
+    Normal maps are the caller's job (supply a pre-mapped normal by replacing
+    ``hit.normal``? no — normal maps need the tangent frame applied AFTER
+    flip_normals, so callers needing them use shade() or fetch the nm texel
+    and pass it via ``nm_rgb``)."""
+    return _shade_lit(hit, view_dir, sc, base_color, nm_rgb=None)
+
+
+def _shade_lit(hit: Hit, view_dir, sc: Scene, base_color, nm_rgb):
+    """Shared lighting core: flip/cull, optional normal-map application
+    (``nm_rgb`` = raw rgb in [0,1] or None), ambient + per-light Phong,
+    special-type overrides (frag:365-438)."""
+    m = sc.materials
+    mi = jnp.clip(hit.mat_idx, 0, m.color.shape[0] - 1)
+    ambient = _gather(m.ambient, mi)
+    diffuse_k = _gather(m.diffuse, mi)
+    specular_k = _gather(m.specular, mi)
+    shininess = _gather(m.shininess, mi)
+    double_sided = _gather(m.double_sided_normals, mi)
+    flip_normals = _gather(m.flip_normals, mi)
+
+    normal = jnp.where(flip_normals[..., None], -hit.normal, hit.normal)
+    culled = (~double_sided) & (geo.dot(normal, view_dir) < 0.0)
+
+    if nm_rgb is not None:
+        normal_map_index = _gather(m.normal_map_index, mi)
+        ts_normal = (
+            nm_rgb[..., 0:1] * hit.tangent
+            + nm_rgb[..., 1:2] * hit.bitangent
+            + nm_rgb[..., 2:3] * normal
         )
-        in_window = (
-            (plane_window_uv[..., 0] >= 0.0)
-            & (plane_window_uv[..., 0] <= 1.0)
-            & (plane_window_uv[..., 1] >= 0.0)
-            & (plane_window_uv[..., 1] <= 1.0)
-        )
-        render_color = jnp.where(is_plane, hit.plane_repeat | in_window, True)
-        sample_uv = jnp.where(is_plane[..., None], plane_tiled, rescaled_uv)
-
-        use_mips = trilinear and len(tex.mips) > 0
-        if use_mips:
-            # Implicit-LOD analog: derivatives of the CONTINUOUS (pre-mod)
-            # texel coordinates over the image grid, restricted to
-            # same-object neighbors (the GL quad-helper-lane analog).
-            cont_uv = jnp.where(
-                is_plane[..., None],
-                plane_uv_src / jnp.maximum(hit.plane_tex_size, 1e-12),
-                rescaled_uv)
-            same_key = hit.obj_type * 65536 + mi
-            lod = screen_space_lod(cont_uv[..., 0] * tex.max_size[0],
-                                   cont_uv[..., 1] * tex.max_size[1],
-                                   valid=hit.valid, key=same_key)
-            sampled = sample_stack_trilinear(
-                tex, texture_index, sample_uv[..., 0], sample_uv[..., 1], lod)
-        else:
-            sampled = sample_stack(tex, texture_index, sample_uv[..., 0],
-                                   sample_uv[..., 1])
-        use_tex = (texture_index >= 0) & render_color
-        base_color = jnp.where(use_tex[..., None], sampled, color)
-
-        # Normal map (frag:408-413): note the reference uses the RAW rgb in
-        # [0,1] (no *2-1 decode) — reproduced faithfully.  When the material
-        # table is concrete (sc closed over, the common case) and no material
-        # has a normal map, skip the gathers entirely — TPU gathers are the
-        # expensive part of this pass.
-        if not _concrete_none_negative(m.normal_map_index):
-            nm_sizes = _gather(
-                tex.sizes, jnp.clip(normal_map_index, 0, tex.sizes.shape[0] - 1)
-            )
-            nm_uv = uv * nm_sizes / tex.max_size
-            if use_mips:
-                nm_lod = screen_space_lod(nm_uv[..., 0] * tex.max_size[0],
-                                          nm_uv[..., 1] * tex.max_size[1],
-                                          valid=hit.valid,
-                                          key=hit.obj_type * 65536 + mi)
-                nm_rgb = sample_stack_trilinear(
-                    tex, normal_map_index, nm_uv[..., 0], nm_uv[..., 1],
-                    nm_lod)[..., :3]
-            else:
-                nm_rgb = sample_stack(tex, normal_map_index, nm_uv[..., 0],
-                                      nm_uv[..., 1])[..., :3]
-            ts_normal = (
-                nm_rgb[..., 0:1] * hit.tangent
-                + nm_rgb[..., 1:2] * hit.bitangent
-                + nm_rgb[..., 2:3] * normal
-            )
-            mapped = geo.safe_normalize(ts_normal)
-            normal = jnp.where(
-                (normal_map_index >= 0)[..., None], mapped, normal
-            )
+        mapped = geo.safe_normalize(ts_normal)
+        normal = jnp.where((normal_map_index >= 0)[..., None], mapped, normal)
 
     final_rgb = ambient[..., None] * base_color[..., :3]  # frag:406
 
-    # Lights (frag:415-435).
     lt = sc.lights
-    n_lights = lt.pos.shape[0]
-    for i in range(n_lights):
+    for i in range(lt.pos.shape[0]):
         lpos = lt.pos[i]
         to_light = lpos - hit.point
         distance = geo.safe_length(to_light)
@@ -201,7 +183,8 @@ def shade(
             + lt.attenuation_quadratic[i] * distance * distance
         )
         diff = jnp.maximum(geo.dot(normal, light_dir), 0.0)
-        diffuse = diffuse_k[..., None] * diff[..., None] * lt.color[i] * base_color[..., :3]
+        diffuse = (diffuse_k[..., None] * diff[..., None] * lt.color[i]
+                   * base_color[..., :3])
 
         reflect_dir = geo.reflect(-light_dir, normal)
         spec_dot = jnp.maximum(geo.dot(view_dir, reflect_dir), 0.0)
@@ -217,9 +200,6 @@ def shade(
     lit = jnp.concatenate([final_rgb, base_color[..., 3:4]], axis=-1)
     lit = jnp.where(culled[..., None], jnp.zeros_like(lit), lit)
 
-    # Special types (frag:366-368).  The horizon shades opaque black — the
-    # soft-silhouette machinery for inverse rendering lives in render.py's
-    # composition (impact-parameter-based), not here.
     out = lit
     out = jnp.where(
         (hit.obj_type == OBJECT_TYPE_SPECIAL)[..., None],
@@ -239,15 +219,92 @@ def shade(
     return out
 
 
+def shade(
+    hit: Hit,
+    view_dir,
+    sc: Scene,
+    tex: Optional[TextureStack] = None,
+    trilinear: bool = False,
+) -> jnp.ndarray:
+    """Lighting for a batch of hits; returns RGBA (..., 4).
+
+    ``view_dir`` points from the surface towards the camera (-ray.dir,
+    frag:818).  Result is only meaningful where ``hit.valid``; callers mask.
+
+    ``trilinear``: LOD-aware texture minification (requires ``tex.mips`` and
+    an (H, W) image-grid batch for the screen-space derivatives).  False =
+    level-0 bilinear, the reference's actual behavior (its GL_LINEAR min
+    filter never samples mips — image_utils.cpp:17,113).
+
+    Composition of :func:`texel_request` + samplers + :func:`_shade_lit`;
+    the fast renderer fetches the same requests through the merged atlas
+    instead (kernel_scene.render_fast).
+    """
+    m = sc.materials
+    mi = jnp.clip(hit.mat_idx, 0, m.color.shape[0] - 1)
+    color = _gather(m.color, mi)
+    base_color = color
+    nm_rgb = None
+    if tex is not None:
+        req = texel_request(hit, sc, tex)
+        use_mips = trilinear and len(tex.mips) > 0
+        if use_mips:
+            # Implicit-LOD analog: derivatives of the CONTINUOUS (pre-mod)
+            # texel coordinates over the image grid, restricted to
+            # same-object neighbors (the GL quad-helper-lane analog).
+            same_key = hit.obj_type * 65536 + mi
+            lod = screen_space_lod(req.cont_u * tex.max_size[0],
+                                   req.cont_v * tex.max_size[1],
+                                   valid=hit.valid, key=same_key)
+            sampled = sample_stack_trilinear(tex, req.index, req.u, req.v,
+                                             lod)
+        else:
+            sampled = sample_stack(tex, req.index, req.u, req.v)
+        base_color = jnp.where(req.use_tex[..., None], sampled, color)
+
+        # Normal map (frag:408-413): note the reference uses the RAW rgb in
+        # [0,1] (no *2-1 decode) — reproduced faithfully.  When the material
+        # table is concrete (sc closed over, the common case) and no material
+        # has a normal map, skip the gathers entirely — TPU gathers are the
+        # expensive part of this pass.
+        if not _concrete_none_negative(m.normal_map_index):
+            normal_map_index = _gather(m.normal_map_index, mi)
+            nm_sizes = _gather(
+                tex.sizes,
+                jnp.clip(normal_map_index, 0, tex.sizes.shape[0] - 1))
+            nm_uv = req.uv * nm_sizes / tex.max_size
+            if use_mips:
+                nm_lod = screen_space_lod(nm_uv[..., 0] * tex.max_size[0],
+                                          nm_uv[..., 1] * tex.max_size[1],
+                                          valid=hit.valid,
+                                          key=hit.obj_type * 65536 + mi)
+                nm_rgb = sample_stack_trilinear(
+                    tex, normal_map_index, nm_uv[..., 0], nm_uv[..., 1],
+                    nm_lod)[..., :3]
+            else:
+                nm_rgb = sample_stack(tex, normal_map_index, nm_uv[..., 0],
+                                      nm_uv[..., 1])[..., :3]
+    return _shade_lit(hit, view_dir, sc, base_color, nm_rgb)
+
+
+def equirect_uv(direction):
+    """Equirectangular (u, v) of a unit direction (frag:829-835): longitude
+    from atan(z, x), latitude from asin(y).  Factored out so the fast
+    renderer can fetch the sky through the merged atlas with the exact same
+    coordinates :func:`get_background` samples at."""
+    u = jnp.arctan2(direction[..., 2], direction[..., 0]) / jnp.pi
+    u = jnp.where(u < 0.0, u + 2.0, u) * 0.5
+    # 1e-7 clip margin keeps asin' finite for exactly-polar directions.
+    v = jnp.arcsin(jnp.clip(direction[..., 1], -1.0 + 1e-7, 1.0 - 1e-7)) / jnp.pi + 0.5
+    return u, v
+
+
 def get_background(bg: Texture, direction, trilinear: bool = False) -> jnp.ndarray:
     """Equirectangular sky sample of a unit direction (frag:829-837).
 
     ``trilinear``: LOD-aware minification over the image grid (opt-in,
     beyond-reference — see shade())."""
-    u = jnp.arctan2(direction[..., 2], direction[..., 0]) / jnp.pi
-    u = jnp.where(u < 0.0, u + 2.0, u) * 0.5
-    # 1e-7 clip margin keeps asin' finite for exactly-polar directions.
-    v = jnp.arcsin(jnp.clip(direction[..., 1], -1.0 + 1e-7, 1.0 - 1e-7)) / jnp.pi + 0.5
+    u, v = equirect_uv(direction)
     if trilinear and len(bg.mips) > 0:
         h, w = bg.data.shape[-3], bg.data.shape[-2]
         lod = screen_space_lod(u * w, v * h)

@@ -554,3 +554,50 @@ def test_compacted_differentiable_grads_match():
     assert bool(jnp.isfinite(g_full)) and bool(jnp.isfinite(g_comp))
     np.testing.assert_allclose(float(g_comp), float(g_full),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_tile_hash_np_twin_bit_identical():
+    """The numpy twin behind the static tile pre-compaction must match the
+    jnp mask bit for bit (the kill list is a compile-time constant)."""
+    from schwarzschild_tpu.render import tile_hash_rand, tile_hash_rand_np
+
+    for w, h, s, t in ((256, 128, 5, (8, 128)), (1280, 720, 0, (16, 128)),
+                       (48, 32, 7, (8, 8))):
+        np.testing.assert_array_equal(
+            np.asarray(tile_hash_rand(w, h, s, t)),
+            tile_hash_rand_np(w, h, s, t))
+
+
+def test_tile_sparse_wrapper_parity():
+    """The static tile pre-compaction path (noise_mode='tile' at a
+    tile-aligned size) matches the jnp renderer, including crosshair over
+    skipped tiles (the reference draws it before the noise test,
+    frag:845-857)."""
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    for crosshair in (False, True):
+        cfg = st.RenderConfig(width=256, height=64, percent_black=0.5,
+                              noise_mode="tile", noise_tile=(8, 128),
+                              noise_seed=3, crosshair=crosshair)
+        ref = np.asarray(JR(sc, cam, cfg, bg, tex, 1.0))
+        fast = np.asarray(render_fast(sc, cam, cfg, bg, tex, 1.0,
+                                      interpret=True))
+        d = np.abs(ref - fast).max(-1)
+        ok = (d < 2e-3).mean()
+        assert ok > 0.995, f"crosshair={crosshair}: {ok:.4f}, max {d.max():.3g}"
+
+
+def test_tile_sparse_wrapper_overflow_return():
+    """overflow='return' passes the count through the sparse wrapper."""
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    cfg = st.RenderConfig(width=256, height=64, percent_black=0.5,
+                          noise_mode="tile", noise_tile=(8, 128))
+    img, n_over = render_fast(sc, cam, cfg, bg, tex, 1.0, interpret=True,
+                              overflow="return")
+    assert img.shape == (64, 256, 4)
+    assert int(n_over) == 0

@@ -383,3 +383,100 @@ def test_sample_stack_compact_gradients_match(rng):
     g_full = np.asarray(jax.grad(loss_full)(stack.data))
     g_comp = np.asarray(jax.grad(loss_comp)(stack.data))
     np.testing.assert_allclose(g_comp, g_full, rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Merged fetch atlas (background layer 0 + stack layers 1..T, one pair8
+# gather per lane — the dense frame's single-fetch restructure).
+# ---------------------------------------------------------------------------
+
+
+def test_atlas_matches_sample_texture(rng):
+    """Layer 0 reproduces the background sampler exactly, including REPEAT
+    wrap at the background's own extent."""
+    data = rng.random((6, 10, 4)).astype(np.float32)
+    t = tx.Texture(data=jnp.asarray(data))
+    atlas = tx.build_atlas(t)
+    shape = (4, 9)
+    # Include coords beyond [0,1] and near the wrap seam.
+    u = jnp.asarray(rng.random(shape) * 2.0 - 0.5, jnp.float32)
+    v = jnp.asarray(rng.random(shape) * 2.0 - 0.5, jnp.float32)
+    ref = np.asarray(tx.sample_texture(t, u, v))
+    got = np.asarray(tx.atlas_fetch(atlas, jnp.zeros(shape, jnp.int32), u, v))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_atlas_matches_sample_stack(rng):
+    """Layers 1..T reproduce the stack sampler exactly — wrap at the PADDED
+    (Wmax, Hmax) extent, zero padding texels included."""
+    imgs = [(rng.random((5, 8, 4)) * 255).astype(np.uint8),
+            (rng.random((8, 4, 4)) * 255).astype(np.uint8)]
+    stack = tx.stack_textures(imgs)
+    bg = tx.Texture(data=jnp.asarray(rng.random((6, 12, 4)).astype(np.float32)))
+    atlas = tx.build_atlas(bg, stack)
+    shape = (5, 6)
+    idx = jnp.asarray(rng.integers(0, 2, shape), jnp.int32)
+    u = jnp.asarray(rng.random(shape) * 1.5 - 0.25, jnp.float32)
+    v = jnp.asarray(rng.random(shape) * 1.5 - 0.25, jnp.float32)
+    ref = np.asarray(tx.sample_stack(stack, idx, u, v))
+    got = np.asarray(tx.atlas_fetch(atlas, idx + 1, u, v))
+    np.testing.assert_array_equal(got, ref)
+    # and the background through the same atlas
+    ref0 = np.asarray(tx.sample_texture(bg, u, v))
+    got0 = np.asarray(tx.atlas_fetch(atlas, jnp.zeros(shape, jnp.int32), u, v))
+    np.testing.assert_array_equal(got0, ref0)
+
+
+def test_atlas_mixed_layers_per_lane(rng):
+    """A single fetch serves bg lanes and stack lanes side by side."""
+    imgs = [(rng.random((4, 4, 4)) * 255).astype(np.uint8)]
+    stack = tx.stack_textures(imgs)
+    bg = tx.Texture(data=jnp.asarray(rng.random((8, 8, 4)).astype(np.float32)))
+    atlas = tx.build_atlas(bg, stack)
+    u = jnp.asarray([0.1, 0.6, 0.9], jnp.float32)
+    v = jnp.asarray([0.3, 0.2, 0.7], jnp.float32)
+    layer = jnp.asarray([0, 1, 0], jnp.int32)
+    got = np.asarray(tx.atlas_fetch(atlas, layer, u, v))
+    np.testing.assert_array_equal(
+        got[0], np.asarray(tx.sample_texture(bg, u[0], v[0])))
+    np.testing.assert_array_equal(
+        got[1], np.asarray(tx.sample_stack(stack, jnp.int32(0), u[1], v[1])))
+    np.testing.assert_array_equal(
+        got[2], np.asarray(tx.sample_texture(bg, u[2], v[2])))
+
+
+def test_atlas_fetch_compact_matches_full(rng):
+    imgs = [(rng.random((4, 6, 4)) * 255).astype(np.uint8)]
+    stack = tx.stack_textures(imgs)
+    bg = tx.Texture(data=jnp.asarray(rng.random((6, 6, 4)).astype(np.float32)))
+    atlas = tx.build_atlas(bg, stack)
+    shape = (6, 8)
+    layer = jnp.asarray(rng.integers(0, 2, shape), jnp.int32)
+    u = jnp.asarray(rng.random(shape), jnp.float32)
+    v = jnp.asarray(rng.random(shape), jnp.float32)
+    want = jnp.asarray(rng.random(shape) < 0.4)
+    full = np.asarray(tx.atlas_fetch(atlas, layer, u, v))
+    comp = np.asarray(tx.atlas_fetch_compact(atlas, layer, u, v, want, cap=32))
+    w_np = np.asarray(want)
+    np.testing.assert_array_equal(comp[w_np], full[w_np])
+    assert (comp[~w_np] == 0.0).all()
+
+
+def test_atlas_gradients_flow_to_background(rng):
+    """The atlas build + fetch is differentiable end-to-end w.r.t. the source
+    texel data (inverse rendering's texture-optimization path)."""
+    data = jnp.asarray(rng.random((4, 4, 4)).astype(np.float32))
+    u = jnp.asarray(rng.random((7,)), jnp.float32)
+    v = jnp.asarray(rng.random((7,)), jnp.float32)
+
+    def loss_atlas(d):
+        atlas = tx.build_atlas(tx.Texture(data=d))
+        return jnp.sum(tx.atlas_fetch(atlas, jnp.zeros((7,), jnp.int32),
+                                      u, v) ** 2)
+
+    def loss_direct(d):
+        return jnp.sum(tx.sample_texture(tx.Texture(data=d), u, v) ** 2)
+
+    g_a = np.asarray(jax.grad(loss_atlas)(data))
+    g_d = np.asarray(jax.grad(loss_direct)(data))
+    np.testing.assert_allclose(g_a, g_d, rtol=1e-6, atol=1e-7)
