@@ -322,10 +322,14 @@ class FetchAtlas(NamedTuple):
     1..T = the texture stack (so ``stack_index + 1`` addresses a stack
     texture and 0 the sky).
 
-    ``data``: (L, Hp+1, Wp, 8) f32 — row (l, y, x) holds the two texels
-    [src(l, y, x), src(l, y, (x+1) mod wrapW(l))]; row wrapH(l) repeats row 0
-    (y-wrap), rows/cols beyond a layer's wrap extent are zero and never
-    fetched.  A bilinear footprint is ONE (1, 2, 1, 8) gather.
+    ``data``: (L, Hp+1, Wp*8) f32 — columns [8x : 8x+8) of row (l, y) hold
+    the two texels [src(l, y, x), src(l, y, (x+1) mod wrapW(l))]; row
+    wrapH(l) repeats row 0 (y-wrap), rows/cols beyond a layer's wrap extent
+    are zero and never fetched.  A bilinear footprint is ONE (1, 2, 8)
+    gather.  The pair channels are FLATTENED into the minor axis: a trailing
+    dim of 8 would be lane-padded to 128 by the TPU (8, 128) tiling — a 16x
+    HBM blowup (measured: a 225 MB atlas ballooned to 3.52 GB per copy and
+    OOM'd the chip).
 
     ``wrap``: (L, 2) f32 — per-layer (wrapW, wrapH) REPEAT extents.  These
     reproduce the existing samplers exactly: the background wraps at its own
@@ -339,9 +343,12 @@ class FetchAtlas(NamedTuple):
 
 
 def _pair_rows(src, wrap_h, wrap_w):
-    """(H, W, 4) -> (wrap_h + 1, wrap_w, 8) x-paired rows with y-wrap row."""
+    """(H, W, 4) -> (wrap_h + 1, wrap_w * 8) x-paired rows (pair channels
+    flattened into the minor axis — see :class:`FetchAtlas`) with y-wrap
+    row."""
     src = src[:wrap_h, :wrap_w]
     paired = jnp.concatenate([src, jnp.roll(src, -1, axis=1)], axis=-1)
+    paired = paired.reshape(wrap_h, wrap_w * 8)
     return jnp.concatenate([paired, paired[:1]], axis=0)
 
 
@@ -365,8 +372,8 @@ def build_atlas(background: Texture,
     rows = []
     for src, h, w in layers:
         r = _pair_rows(src.astype(jnp.float32), h, w)
-        r = jnp.pad(r, ((0, hp + 1 - r.shape[0]), (0, wp - r.shape[1]),
-                        (0, 0)))
+        r = jnp.pad(r, ((0, hp + 1 - r.shape[0]),
+                        (0, wp * 8 - r.shape[1])))
         rows.append(r)
     wrap = jnp.asarray([[w, h] for _, h, w in layers], jnp.float32)
     return FetchAtlas(data=jnp.stack(rows), wrap=wrap)
@@ -413,18 +420,23 @@ def build_atlas_cached(background: Texture,
         layers += [(st_np[i], sh, sw) for i in range(st_np.shape[0])]
     hp = max(h for _, h, _ in layers)
     wp = max(w for _, _, w in layers)
-    data = np.zeros((len(layers), hp + 1, wp, 8), np.float32)
+    data = np.zeros((len(layers), hp + 1, wp * 8), np.float32)
     for li, (srcl, h, w) in enumerate(layers):
         paired = np.concatenate([srcl[:h, :w], np.roll(srcl[:h, :w], -1,
                                                        axis=1)], axis=-1)
-        data[li, :h, :w] = paired
-        data[li, h, :w] = paired[0]
+        paired = paired.reshape(h, w * 8)
+        data[li, :h, :w * 8] = paired
+        data[li, h, :w * 8] = paired[0]
     wrap = np.asarray([[w, h] for _, h, w in layers], np.float32)
-    # Keep NUMPY arrays: any jnp conversion INSIDE a caller's trace would be
-    # a per-trace tracer (leaking through the cache); numpy operands become
-    # jaxpr constants at the op boundary — the constant-operand gather fast
-    # path, exactly like closed-over texture arrays.
-    atlas = FetchAtlas(data=data, wrap=wrap)
+    # Upload ONCE as a real device array under ensure_compile_time_eval():
+    # a plain jnp conversion inside a caller's trace would be a per-trace
+    # tracer (leaking through the cache), and a raw NUMPY constant gets
+    # serialized as an HLO literal — hundreds of MB through this
+    # environment's remote-compile tunnel (HTTP 413 on the grad program).
+    # A concrete device array closure rides as a compiled-program parameter:
+    # the constant-operand gather fast path without the serialization.
+    with jax.ensure_compile_time_eval():
+        atlas = FetchAtlas(data=jnp.asarray(data), wrap=jnp.asarray(wrap))
     _ATLAS_CACHE.insert(0, (bg_d, st_d, atlas))
     del _ATLAS_CACHE[_ATLAS_CACHE_MAX:]
     return atlas
@@ -462,13 +474,13 @@ def atlas_fetch(atlas: FetchAtlas, layer, u, v):
     x0i = jnp.mod(x0, w).astype(jnp.int32)
     y0i = jnp.mod(y0, h).astype(jnp.int32)
     idx = jnp.stack(
-        [jnp.broadcast_to(layer, batch).astype(jnp.int32), y0i, x0i],
+        [jnp.broadcast_to(layer, batch).astype(jnp.int32), y0i, x0i * 8],
         axis=-1).reshape(-1, 3)
     dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        offset_dims=(1, 2), collapsed_slice_dims=(0,),
         start_index_map=(0, 1, 2))
     c = jax.lax.gather(
-        atlas.data, idx, dnums, slice_sizes=(1, 2, 1, 8),
+        atlas.data, idx, dnums, slice_sizes=(1, 2, 8),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
     ).reshape(batch + (2, 2, 4))
     c00, c10 = c[..., 0, 0, :], c[..., 0, 1, :]
