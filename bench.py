@@ -42,9 +42,12 @@ vs_baseline = value / 1e9 (the >=1e9 steps/s/chip target); the extra
 workloads ride as additional fields.
 
 Self-budgeting: the headline workload always runs; each FURTHER workload runs
-only while total elapsed time is under SCHW_BENCH_BUDGET_S (default 420 s —
+only while total elapsed time is under SCHW_BENCH_BUDGET_S (default 780 s —
 six workloads cost ~14 large XLA compiles, which can blow a driver timeout on
-a loaded host).  The budget is a SOFT start-gate: it is checked before each
+a loaded host; r03 measured 733 s total on a cold cache and the driver
+tolerated it).  Workloads run in descending priority — scene march, dense
+frame, grad, interactive 720p, then the sparse-march ablation — so the budget
+drops the least-targeted metric first (VERDICT r3 weak #6).  The budget is a SOFT start-gate: it is checked before each
 workload begins (minus a 60 s headroom for the median workload cost), so the
 total can still overrun by roughly one workload's duration — callers needing
 a hard wall should wrap the process in `timeout`.  Skipped workloads are
@@ -63,7 +66,7 @@ import jax
 import jax.numpy as jnp
 
 _T0 = time.perf_counter()
-_BUDGET_S = float(os.environ.get("SCHW_BENCH_BUDGET_S", "420"))
+_BUDGET_S = float(os.environ.get("SCHW_BENCH_BUDGET_S", "780"))
 
 
 def _under_budget():
@@ -170,11 +173,6 @@ def main():
     t_scene, totals_scene = sr if sr else (None, {})
     scene_steps_per_s = steps_per_frame / t_scene if t_scene else None
 
-    # compact=False: measured on v5e, the compaction permutation costs more
-    # than the march it saves (see kernel.compact_march docstring).
-    sp = run("bh_sparse", lambda: _time_chain(bh_chain(sparse, 16, 256)))
-    t_sparse = sp[0] if sp else None
-
     bgt = configs.background_texture()
     tex = configs.demo_texture_stack()
 
@@ -197,12 +195,6 @@ def main():
     fr = run("frame_dense", lambda: _time_chain(frame_chain(cfg),
                                                 chains=(4, 12)))
     t_frame = fr[0] if fr else None
-
-    cfg_int = st.RenderConfig(width=1280, height=720, percent_black=0.75,
-                              noise_mode="hash", checkpoint_every=0)
-    ir = run("frame_interactive", lambda: _time_chain(frame_chain(cfg_int),
-                                                      chains=(4, 12)))
-    t_int = ir[0] if ir else None
 
     # Gradient step: kernel forward + checkpointed validity-replay backward.
     cfg_grad = st.RenderConfig(width=size, height=size, percent_black=-1.0,
@@ -231,6 +223,20 @@ def main():
 
     gr = run("grad_512", lambda: _time_chain(grad_chain(), chains=(2, 6)))
     t_grad = gr[0] if gr else None
+
+    cfg_int = st.RenderConfig(width=1280, height=720, percent_black=0.75,
+                              noise_mode="hash", checkpoint_every=0)
+    ir = run("frame_interactive", lambda: _time_chain(frame_chain(cfg_int),
+                                                      chains=(4, 12)))
+    t_int = ir[0] if ir else None
+
+    # bh_sparse LAST: workloads run in descending priority so the soft budget
+    # drops the least-targeted metric first (VERDICT r3 weak #6 — grad_512,
+    # the one with an explicit round target, was the one being dropped).
+    # compact=False: measured on v5e, the compaction permutation costs more
+    # than the march it saves (see kernel.compact_march docstring).
+    sp = run("bh_sparse", lambda: _time_chain(bh_chain(sparse, 16, 256)))
+    t_sparse = sp[0] if sp else None
 
     def ms(t):
         # `is not None` (not truthiness): a measured 0.0 slope — possible
