@@ -175,20 +175,27 @@ def main():
 
     bgt = configs.background_texture()
     tex = configs.demo_texture_stack()
+    # The 381 MB f32 quadrow atlas rides as a jit ARGUMENT, not a closure:
+    # this environment's remote-compile tunnel ships closure constants in
+    # the compile request body (HTTP 413 past ~256 MB); a parameter stays on
+    # the gather fast path (2.88 vs 2.70 ms per 262k-index pass).
+    from schwarzschild_tpu.textures import build_atlas_cached
+
+    atlas = build_atlas_cached(bgt, tex)
 
     def frame_chain(frame_cfg):
         def make(chain):
             @jax.jit
-            def chained(r0):
+            def chained(r0, atlas):
                 def body(r, _):
                     img = render_fast(sc, cam, frame_cfg, bgt, tex, r,
-                                      overflow="ignore")
+                                      overflow="ignore", atlas=atlas)
                     return r + 1e-6 * jnp.mean(img), None
 
                 r, _ = jax.lax.scan(body, r0, None, length=chain)
                 return r
 
-            return chained
+            return lambda r0: chained(r0, atlas)
 
         return make
 
@@ -201,23 +208,24 @@ def main():
                                checkpoint_every=20)
 
     def grad_chain():
-        def loss(r_s):
+        def loss(r_s, atlas):
             img = render_fast(sc, cam, cfg_grad, bgt, tex, r_s,
-                              overflow="ignore", differentiable=True)
+                              overflow="ignore", differentiable=True,
+                              atlas=atlas)
             return jnp.mean(img)
 
         gradf = jax.grad(loss)
 
         def make(chain):
             @jax.jit
-            def chained(r0):
+            def chained(r0, atlas):
                 def body(r, _):
-                    return r + 1e-6 * gradf(r), None
+                    return r + 1e-6 * gradf(r, atlas), None
 
                 r, _ = jax.lax.scan(body, r0, None, length=chain)
                 return r
 
-            return chained
+            return lambda r0: chained(r0, atlas)
 
         return make
 

@@ -79,20 +79,29 @@ def render_trajectory(
 
     if renderer == "fast":
         from .kernel_scene import render_fast
+        from .textures import build_atlas_cached
 
         # Mosaic only exists on TPU; anywhere else (CPU CI, smoke runs) the
         # kernel must run under the Pallas interpreter.
         interpret = jax.default_backend() != "tpu"
 
-        def _fast(sc, cam, background, tex, r_s):
+        def _fast(sc, cam, background, tex, r_s, atlas):
             img = render_fast(sc, cam, cfg, background, tex, r_s,
-                              overflow="ignore", interpret=interpret)
+                              overflow="ignore", interpret=interpret,
+                              atlas=atlas)
             return to_uint8(img) if quantize else img
 
         _jit_fast = jax.jit(_fast)
 
         def jit_render(sc, cam, _cfg, background, tex, r_s):
-            return _jit_fast(sc, cam, background, tex, r_s)
+            # Atlas built ONCE on the host and passed as a jit ARGUMENT:
+            # background/tex are jit args here (tracers inside), so the
+            # in-renderer build would trace a computed-operand gather (2.3x
+            # slower) — and a closure constant this big breaks this
+            # environment's remote-compile request limit (render_fast
+            # docstring).
+            atlas = build_atlas_cached(background, tex)
+            return _jit_fast(sc, cam, background, tex, r_s, atlas)
     elif renderer == "jnp":
         if quantize:
             def _jnp(sc, cam, cfg, background, tex, r_s):

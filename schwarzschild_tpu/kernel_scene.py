@@ -851,7 +851,8 @@ def noise_field(cfg: RenderConfig, u_ndc, v_ndc) -> jnp.ndarray:
 
 def _render_fast_tile_sparse(sc, cam, cfg, background, tex, r_s, n_slots,
                              interpret, overflow, differentiable, test_ray,
-                             skip_empty_slots, opaque_stop, compact_slots):
+                             skip_empty_slots, opaque_stop, compact_slots,
+                             atlas=None):
     """Static tile pre-compaction for noise-sparse frames.
 
     With the tile-coherent noise mask (cfg.noise_mode == "tile"), which tiles
@@ -921,7 +922,7 @@ def _render_fast_tile_sparse(sc, cam, cfg, background, tex, r_s, n_slots,
                       differentiable=differentiable, test_ray=test_ray,
                       skip_empty_slots=skip_empty_slots,
                       opaque_stop=opaque_stop, compact_slots=compact_slots,
-                      precomputed=pre)
+                      precomputed=pre, atlas=atlas)
     img_d, n_over = out if overflow != "ignore" else (out, None)
 
     rows = img_d.reshape((capk, th, tw, 4))
@@ -951,6 +952,146 @@ def _render_fast_tile_sparse(sc, cam, cfg, background, tex, r_s, n_slots,
     return img
 
 
+def _render_fast_lane_sparse(sc, cam, cfg, background, tex, r_s, n_slots,
+                             interpret, overflow, differentiable, test_ray,
+                             skip_empty_slots, opaque_stop, compact_slots,
+                             atlas=None):
+    """Static per-LANE pre-compaction for per-pixel noise masks.
+
+    The reference's default interactive workload drops 75% of pixels with a
+    per-pixel hash (percent_black, main.cpp:66, frag:879-881).  Per-pixel
+    speckle is the WORST case for the tile machinery: survivors scatter
+    uniformly, so every march tile stays live and every full-batch fetch
+    pays all H*W index rows (measured 43 ms at 1280x720/0.75 on v5e).  But
+    the canonical hash mask (render.pixel_hash_rand) is a pure function of
+    STATIC config — the survivor pixel list is a COMPILE-TIME constant — so
+    this path renders a dense pseudo-image of just the survivors:
+
+      * ray origins/directions/uv/noise for the compacted lanes are
+        COMPUTED elementwise from the (mostly constant) pixel-id vector —
+        no input gather at all (a per-lane gather would pay ~25 ns/row,
+        docs/tpu_cost_model.md section 1);
+      * march, composition levels, and every texel fetch run on
+        ~(1 - percent_black) * H * W lanes;
+      * ONE scatter writes the survivors back over a black frame.
+
+    Radial pixels render flat regardless of noise (the reference tests
+    radiality before the noise skip, frag:866-881) and radiality is
+    camera-dependent: noise-dropped radial pixels ride a small dynamic
+    slack of whole (8, 128) tiles appended to the static lanes (radiality
+    is an exact-alignment epsilon test — a ~4.5e-4 rad cone around +-origin
+    — so at most a couple of tiles ever qualify; beyond-slack radial tiles
+    would render black, same documented deviation as the tile-sparse path).
+    Slack lanes recompute their own hash value, so kept pixels among them
+    (already rendered as static lanes) scatter to a discard slot instead of
+    double-writing.
+    """
+    import dataclasses
+
+    f32 = jnp.float32
+    H, W = cfg.height, cfg.width
+    from .render import pixel_hash_rand_np
+
+    rnd_np = pixel_hash_rand_np(W, H, cfg.noise_seed)
+    keep_np = (rnd_np > cfg.percent_black).reshape(-1)
+    static_ids = np.nonzero(keep_np)[0].astype(np.int32)
+    n_static = len(static_ids)
+
+    TH, TW = 8, 128
+    SLACK_TILES = 4
+    nth, ntw = H // TH, W // TW
+    nt = nth * ntw
+
+    # Dynamic radial-slack tiles: dropped tiles containing a radial pixel.
+    u_full, v_full = cam_mod.pixel_grid(W, H)
+    o_full, d_full = cam_mod.generate_rays(cam, u_full, v_full, W, H)
+    radial = physics.is_radial(d_full, geo.safe_normalize(o_full))
+    rad_drop = radial & jnp.asarray(~keep_np.reshape(H, W))
+    rt = rad_drop.reshape(nth, TH, ntw, TW).any(axis=(1, 3)).reshape(-1)
+    tids = jnp.nonzero(rt, size=SLACK_TILES, fill_value=nt)[0].astype(jnp.int32)
+    tile_base = jnp.where(tids < nt,
+                          (tids // ntw) * TH * W + (tids % ntw) * TW,
+                          H * W)
+    within = jnp.arange(TH * TW, dtype=jnp.int32)
+    within = (within // TW) * W + (within % TW)
+    dyn_ids = jnp.where(tile_base[:, None] < H * W,
+                        tile_base[:, None] + within[None, :],
+                        H * W).reshape(-1)
+    n_dyn = SLACK_TILES * TH * TW
+
+    cap_rows = -(-(n_static + n_dyn) // 128)
+    cap_rows = -(-cap_rows // 16) * 16  # march block_h alignment
+    cap = cap_rows * 128
+    ids = jnp.concatenate([
+        jnp.asarray(static_ids), dyn_ids,
+        jnp.full((cap - n_static - n_dyn,), H * W, jnp.int32)])
+
+    # Per-lane quantities COMPUTED from the pixel id (no gather): the id IS
+    # y*W + x, which is also the hash input of pixel_hash_rand.
+    pid = jnp.minimum(ids, H * W - 1)
+    py = (pid // W).astype(f32)
+    px = (pid % W).astype(f32)
+    u2 = ((2.0 * (px + 0.5)) / W - 1.0).reshape(cap_rows, 128)
+    v2 = (1.0 - (2.0 * (py + 0.5)) / H).reshape(cap_rows, 128)
+    origin, direction = cam_mod.generate_rays(cam, u2, v2, W, H)
+    u32 = jnp.uint32
+    h = pid.astype(u32) + u32(cfg.noise_seed & 0xFFFFFFFF) * u32(0x9E3779B9)
+    h = h ^ (h >> 16)
+    h = h * u32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * u32(0x846CA68B)
+    h = h ^ (h >> 16)
+    rnd = h.astype(f32) * f32(2.3283064365386963e-10)
+    # Filler/invalid-slack lanes (sentinel id): rnd 0 <= percent_black skips
+    # them — no march work, no slot recordings, black output.
+    rnd = jnp.where(ids == H * W, 0.0, rnd).reshape(cap_rows, 128)
+
+    pre = dict(origin=origin, direction=direction, u_ndc=u2, v_ndc=v2,
+               rnd=rnd)
+    inner_cfg = dataclasses.replace(cfg, crosshair=False)
+    out = render_fast(sc, None, inner_cfg, background, tex, r_s,
+                      n_slots=n_slots, interpret=interpret,
+                      overflow="ignore" if overflow == "ignore" else "return",
+                      differentiable=differentiable, test_ray=test_ray,
+                      skip_empty_slots=skip_empty_slots,
+                      opaque_stop=opaque_stop, compact_slots=compact_slots,
+                      precomputed=pre, atlas=atlas)
+    img_d, n_over = out if overflow != "ignore" else (out, None)
+
+    # Slack lanes whose pixel the mask KEPT are duplicates of static lanes:
+    # scatter them to the discard slot.  (Identical per-lane math, but slot
+    # compaction groups them differently — ~1 ulp — and duplicate .set order
+    # is unspecified.)
+    is_dyn = np.zeros(cap, bool)
+    is_dyn[n_static:] = True
+    scatter_ids = jnp.where(jnp.asarray(is_dyn)
+                            & (rnd.reshape(-1) > cfg.percent_black),
+                            H * W, ids)
+    rows = img_d.reshape(cap, 4)
+    full = jnp.zeros((H * W + 1, 4), f32).at[scatter_ids].set(rows)
+    img = full[:H * W].reshape(H, W, 4)
+    if cfg.crosshair:
+        # Crosshair shows over skipped pixels too (the reference draws it
+        # before the noise test, frag:845-857).
+        ch = crosshair_mask(u_full, v_full, W, H)
+        img = img + jnp.where(ch[..., None], jnp.array(CROSSHAIR_COLOR, f32),
+                              0.0)
+    if overflow == "ignore":
+        return img
+    if overflow == "return":
+        return img, n_over
+    if not isinstance(n_over, jax.core.Tracer):
+        import warnings
+
+        n = int(n_over)
+        if n:
+            warnings.warn(
+                f"render_fast: {n} rays exceeded n_slots={n_slots} "
+                "recording slots (extra translucent hits dropped; raise "
+                "n_slots)")
+    return img
+
+
 def render_fast(
     sc: Scene,
     cam: cam_mod.Camera,
@@ -968,6 +1109,7 @@ def render_fast(
     opaque_stop: bool = True,
     compact_slots="auto",
     precomputed: Optional[dict] = None,
+    atlas=None,
 ) -> jnp.ndarray:
     """Full-featured fast renderer: Pallas march + K-slot jnp shading.
 
@@ -1011,6 +1153,16 @@ def render_fast(
     path; screen-space LOD needs the full grid).  ``skip_empty_slots`` only
     affects the trilinear path for the same reason.
 
+    ``atlas``: a prebuilt :class:`textures.FetchAtlas` for the bilinear
+    path.  Default None builds (and identity-caches) one from
+    (background, tex) as a jit-closure CONSTANT — fine up to ~250 MB, but
+    this environment's remote-compile tunnel ships closure constants in the
+    compile request (HTTP 413 past ~256 MB).  Callers with a big atlas
+    (the 381 MB f32 demo quadrow, any 8k background) should build it once
+    with :func:`textures.build_atlas_cached` and pass it as an ARGUMENT of
+    their jitted function instead: measured 2.88 ms vs 2.70 ms per
+    262k-index fetch — parameters stay on the gather fast path.
+
     ``precomputed``: dict with keys ``origin``, ``direction`` (each
     batch+(3,)), ``u_ndc``, ``v_ndc``, ``rnd`` (each batch-shaped) replacing
     the internal pixel-grid / ray / noise-field generation.  This is the
@@ -1027,6 +1179,18 @@ def render_fast(
     if cfg.texture_filter not in ("bilinear", "trilinear"):
         raise ValueError(f"unknown texture_filter {cfg.texture_filter!r}")
     if (precomputed is None and mesh is None and not trilinear
+            and cfg.noise_mode == "hash" and cfg.percent_black > 0.0
+            and cfg.raytrace_type == cam_mod.CURVED
+            and compact_slots is not None
+            and H % 8 == 0 and W % 128 == 0 and H * W >= 64 * 8 * 128):
+        # Per-PIXEL noise masks (reference-faithful speckle) kill static
+        # lanes — run the whole pipeline on just the surviving lanes,
+        # compacted into a dense pseudo-image (see the function docstring).
+        return _render_fast_lane_sparse(
+            sc, cam, cfg, background, tex, r_s, n_slots, interpret, overflow,
+            differentiable, test_ray, skip_empty_slots, opaque_stop,
+            compact_slots, atlas=atlas)
+    if (precomputed is None and mesh is None and not trilinear
             and cfg.noise_mode == "tile" and cfg.percent_black > 0.0
             and cfg.raytrace_type == cam_mod.CURVED
             and compact_slots is not None
@@ -1038,7 +1202,7 @@ def render_fast(
         return _render_fast_tile_sparse(
             sc, cam, cfg, background, tex, r_s, n_slots, interpret, overflow,
             differentiable, test_ray, skip_empty_slots, opaque_stop,
-            compact_slots)
+            compact_slots, atlas=atlas)
     if trilinear:
         from .textures import build_mips
 
@@ -1185,7 +1349,8 @@ def render_fast(
         from .compose import compose_atlas
         from .textures import build_atlas_cached
 
-        atlas = build_atlas_cached(background, tex)
+        if atlas is None:
+            atlas = build_atlas_cached(background, tex)
         bgu, bgv = equirect_uv(use_dir)
         cap_drop = march_px & (status == STATUS_CAPTURED)
         # Tile compaction's nonzero/gather/scatter are global ops: under a

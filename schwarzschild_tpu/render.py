@@ -110,6 +110,29 @@ def tile_hash_rand(width, height, seed=0, tile=(8, 128)):
     return h.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)  # / 2^32
 
 
+def pixel_hash_rand_np(width, height, seed=0):
+    """Numpy twin of :func:`pixel_hash_rand` — bit-identical by construction
+    (same uint32 lowbias32 pipeline, wrapping arithmetic).
+
+    Exists so the fast renderer's STATIC per-lane pre-compaction
+    (kernel_scene._render_fast_lane_sparse) can evaluate the per-pixel noise
+    mask at trace time: which pixels the mask kills is a pure function of
+    (width, height, seed, percent_black) — all static config."""
+    u32 = np.uint32
+    y = np.broadcast_to(np.arange(height, dtype=np.int64)[:, None],
+                        (height, width)).astype(u32)
+    x = np.broadcast_to(np.arange(width, dtype=np.int64)[None, :],
+                        (height, width)).astype(u32)
+    with np.errstate(over="ignore"):
+        h = y * u32(width) + x + u32(seed & 0xFFFFFFFF) * u32(0x9E3779B9)
+        h = h ^ (h >> u32(16))
+        h = h * u32(0x7FEB352D)
+        h = h ^ (h >> u32(15))
+        h = h * u32(0x846CA68B)
+        h = h ^ (h >> u32(16))
+    return h.astype(np.float32) * np.float32(2.3283064365386963e-10)
+
+
 def tile_hash_rand_np(width, height, seed=0, tile=(16, 128)):
     """Numpy twin of :func:`tile_hash_rand` — bit-identical by construction
     (same uint32 lowbias32 pipeline, wrapping arithmetic).

@@ -168,37 +168,45 @@ def make_sharded_render(mesh: Mesh, cfg: RenderConfig, renderer: str = "jnp",
         p2 = P(row, col)
         p3 = P(row, col, None)
 
-        def _core(o, d, u, v, rnd, sc, background, tex, r_s):
+        def _core(o, d, u, v, rnd, sc, background, tex, r_s, atlas):
             return render_fast(
                 sc, None, cfg, background, tex, r_s, n_slots=n_slots,
                 interpret=interpret, overflow="ignore",
                 precomputed=dict(origin=o, direction=d, u_ndc=u, v_ndc=v,
-                                 rnd=rnd))
+                                 rnd=rnd), atlas=atlas)
 
-        def _render(sc, cam, background, tex, r_s):
+        def _render(sc, cam, background, tex, r_s, atlas):
             u, v = cam_mod.pixel_grid(cfg.width, cfg.height)
             o, d = cam_mod.generate_rays(cam, u, v, cfg.width, cfg.height)
             rnd = noise_field(cfg, u, v)
             inner = jax.shard_map(
                 _core, mesh=mesh,
-                in_specs=(p3, p3, p2, p2, p2, P(), P(), P(), P()),
+                in_specs=(p3, p3, p2, p2, p2, P(), P(), P(), P(), P()),
                 out_specs=p3,
                 check_vma=False,
             )
-            return inner(o, d, u, v, rnd, sc, background, tex, r_s)
+            return inner(o, d, u, v, rnd, sc, background, tex, r_s, atlas)
     else:
         raise ValueError(f"unknown renderer {renderer!r}")
 
-    fn = jax.jit(
-        _render,
-        in_shardings=(rep, rep, rep, rep, rep),
-        out_shardings=out_sh,
-    )
+    # The fetch atlas rides as a REPLICATED jit argument (not a closure
+    # constant, not an in-trace build): built once on the host from the
+    # concrete textures at call time (identity-cached), it stays on the
+    # gather fast path per shard and off the remote-compile request body
+    # (see render_fast's ``atlas`` docstring).
+    takes_atlas = renderer == "fast" and cfg.texture_filter != "trilinear"
+    n_args = 6 if takes_atlas else 5
+    fn = jax.jit(_render, in_shardings=(rep,) * n_args, out_shardings=out_sh)
 
     def sharded_render(sc, cam, background, tex=None, r_s=1.0):
         import jax.numpy as jnp
 
-        return fn(sc, cam, background, tex, jnp.asarray(r_s, jnp.float32))
+        args = (sc, cam, background, tex, jnp.asarray(r_s, jnp.float32))
+        if takes_atlas:
+            from .textures import build_atlas_cached
+
+            args += (build_atlas_cached(background, tex),)
+        return fn(*args)
 
     return sharded_render
 

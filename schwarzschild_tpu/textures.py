@@ -22,6 +22,7 @@ The sampler is plain gather + lerp, hence differentiable w.r.t. the texel data
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Sequence
 
 import numpy as np
@@ -308,52 +309,119 @@ def sample_texture_compact(tex: Texture, u, v, want, cap):
 # two operands are merged into one layered atlas and the fetch becomes one
 # gather with a per-lane layer index.
 #
-# Fetch form (measured on v5e, benchmarks/gather_layout*.py, 262k lanes over
-# a 2k background): x-PAIRED rows fetched as one (1, 2, 1, 8) slice = 3.97 ms
-# vs 4.86 ms for the production (1, 2, 2, 4) patch form, 3.09 ms for a bare
-# (1, 1, 4) fetch (the per-index floor).  bf16 texels do NOT pay in either
-# form (patch_bf16 5.83 ms — sublane-alignment padding eats the byte win),
-# so the atlas stays f32 and exact.
+# Fetch form — the QUADROW layout (measured on v5e,
+# benchmarks/gather_layout3.py, 262k lanes over a 2k background): a flat
+# (G, 128) sheet where each 128-lane row holds 8 quads of 16 floats
+# [c00 c10 c01 c11] (the full 2x2 bilinear footprint of one texel origin),
+# fetched as ONE (1, 128) whole-row gather at group index
+# g = base(l) + y0 * gpr(l) + (x0 >> 3), quad selected in-register by an
+# 8-wide one-hot contraction: 3.28 ms f32 / 2.83 ms bf16 per 262k-index
+# pass.  History of the two forms it replaces:
+#   * pair8 (r02): (L, Hp+1, Wp, 8) slice (1,2,1,8) — 3.97 ms, but the
+#     trailing dim of 8 is lane-padded to 128 by the TPU (8, 128) tiling:
+#     16x HBM blowup (225 MB atlas -> 3.52 GB -> chip OOM);
+#   * r03 flat8: (L, Hp+1, Wp*8) slice (1,2,8) at DYNAMIC minor start
+#     x0*8 — memory-sane but 555 ms per pass (XLA:TPU serializes gathers
+#     whose minor-dim start is per-index dynamic; this was the r03
+#     frame-regression, BENCH_r03 837 ms/frame).
+# Quadrow has a static minor start (whole 128 rows), zero tile padding
+# ((G, 128) IS the native f32 tile shape), and one gather per fetch.
 # ---------------------------------------------------------------------------
 
 
 class FetchAtlas(NamedTuple):
-    """Layered x-paired bilinear operand: layer 0 = the background, layers
+    """Layered quadrow bilinear operand: layer 0 = the background, layers
     1..T = the texture stack (so ``stack_index + 1`` addresses a stack
     texture and 0 the sky).
 
-    ``data``: (L, Hp+1, Wp*8) f32 — columns [8x : 8x+8) of row (l, y) hold
-    the two texels [src(l, y, x), src(l, y, (x+1) mod wrapW(l))]; row
-    wrapH(l) repeats row 0 (y-wrap), rows/cols beyond a layer's wrap extent
-    are zero and never fetched.  A bilinear footprint is ONE (1, 2, 8)
-    gather.  The pair channels are FLATTENED into the minor axis: a trailing
-    dim of 8 would be lane-padded to 128 by the TPU (8, 128) tiling — a 16x
-    HBM blowup (measured: a 225 MB atlas ballooned to 3.52 GB per copy and
-    OOM'd the chip).
+    ``data``: (G, 128) — each row holds 8 quads of 16 values
+    [c00 c10 c01 c11] x 4 channels; quad (l, y, x) lives at row
+    ``base[l] + y * gpr[l] + (x >> 3)``, lane group ``x & 7``.  Layers pack
+    at their OWN extents (width padded up to a multiple of 8; pad quads are
+    zero and never fetched) — an 8k background no longer balloons every
+    other layer to its extent (VERDICT r3 item 4).  The x/y REPEAT
+    neighbors are baked into each quad at build time, so no wrap rows/cols
+    exist at all.  dtype f32 (exact, the parity default) or bf16 (opt-in:
+    half the HBM, measured slightly faster; <=0.4% texel error on 8-bit
+    sources).
 
     ``wrap``: (L, 2) f32 — per-layer (wrapW, wrapH) REPEAT extents.  These
     reproduce the existing samplers exactly: the background wraps at its own
     (W, H) (:func:`sample_texture`), stack layers wrap at the PADDED
-    (Wmax, Hmax) (:func:`sample_stack` — GL REPEAT over the padded array
-    texture, reference-faithful).
+    (Wmax, Hmax) of the stack (:func:`sample_stack` — GL REPEAT over the
+    padded array texture, reference-faithful).
+
+    ``base``: (L,) int32 row offset of each layer in the sheet.
+    ``gpr``: (L,) int32 groups (rows) per texel row = ceil(wrapW / 8).
     """
 
     data: jnp.ndarray
     wrap: jnp.ndarray
+    base: jnp.ndarray
+    gpr: jnp.ndarray
 
 
-def _pair_rows(src, wrap_h, wrap_w):
-    """(H, W, 4) -> (wrap_h + 1, wrap_w * 8) x-paired rows (pair channels
-    flattened into the minor axis — see :class:`FetchAtlas`) with y-wrap
-    row."""
-    src = src[:wrap_h, :wrap_w]
-    paired = jnp.concatenate([src, jnp.roll(src, -1, axis=1)], axis=-1)
-    paired = paired.reshape(wrap_h, wrap_w * 8)
-    return jnp.concatenate([paired, paired[:1]], axis=0)
+def _quad_rows(src, wrap_h, wrap_w):
+    """(H, W, 4) -> (wrap_h * ceil(wrap_w/8), 128) quadrow sheet rows for
+    one layer (see :class:`FetchAtlas`).  jnp ops only — differentiable
+    w.r.t. ``src`` for traced (inverse-rendering) builds."""
+    s = src[:wrap_h, :wrap_w]
+    xp = jnp.roll(s, -1, axis=1)
+    yp = jnp.roll(s, -1, axis=0)
+    xyp = jnp.roll(xp, -1, axis=0)
+    quads = jnp.concatenate([s, xp, yp, xyp], axis=-1)  # (h, w, 16)
+    wp = -(-wrap_w // 8) * 8
+    if wp != wrap_w:
+        quads = jnp.pad(quads, ((0, 0), (0, wp - wrap_w), (0, 0)))
+    return quads.reshape(wrap_h * (wp // 8), 128)
+
+
+def _atlas_layers(background, stack):
+    """The (src, wrap_h, wrap_w) layer list shared by both builders."""
+    bh, bw = background.data.shape[-3], background.data.shape[-2]
+    layers = [(background.data, bh, bw)]
+    if stack is not None:
+        sh, sw = stack.data.shape[1], stack.data.shape[2]
+        layers += [(stack.data[i], sh, sw) for i in range(stack.data.shape[0])]
+    return layers
+
+
+def _atlas_tables(layers):
+    """Per-layer (wrap, base, gpr) numpy tables from the layer extents."""
+    wrap = np.asarray([[w, h] for _, h, w in layers], np.float32)
+    gpr = np.asarray([-(-w // 8) for _, _, w in layers], np.int32)
+    rows = np.asarray([h for _, h, _ in layers], np.int64) * gpr
+    base = np.concatenate([[0], np.cumsum(rows)[:-1]]).astype(np.int32)
+    return wrap, base, gpr, int(rows.sum())
+
+
+def atlas_nbytes(background: Texture,
+                 stack: Optional["TextureStack"] = None,
+                 dtype=jnp.float32) -> int:
+    """HBM bytes the quadrow atlas for these sources will occupy (exact:
+    (G, 128) is the native tile shape, no hidden padding)."""
+    _, _, _, total_rows = _atlas_tables(_atlas_layers(background, stack))
+    return total_rows * 128 * jnp.dtype(dtype).itemsize
+
+
+# Refuse to build an atlas past this HBM budget (VERDICT r3 weak #7: the
+# r03 OOM was discovered on-chip at round end; fail loudly at build time
+# instead).  Overridable via env for big-HBM parts.
+ATLAS_MAX_BYTES = int(float(os.environ.get("SCHW_ATLAS_MAX_BYTES", 4e9)))
+
+
+def _check_atlas_bytes(nbytes):
+    if nbytes > ATLAS_MAX_BYTES:
+        raise ValueError(
+            f"fetch atlas would be {nbytes / 1e9:.2f} GB "
+            f"(> SCHW_ATLAS_MAX_BYTES={ATLAS_MAX_BYTES / 1e9:.2f} GB); "
+            "use dtype=jnp.bfloat16 (halves it; <=0.4% texel error on "
+            "8-bit sources) or smaller textures")
 
 
 def build_atlas(background: Texture,
-                stack: Optional["TextureStack"] = None) -> FetchAtlas:
+                stack: Optional["TextureStack"] = None,
+                dtype=jnp.float32) -> FetchAtlas:
     """Build the merged fetch atlas (see :class:`FetchAtlas`).
 
     With concrete inputs this executes eagerly at trace time, so the atlas
@@ -362,21 +430,14 @@ def build_atlas(background: Texture,
     rendering optimizing a texture) it traces into the graph: ~2.3x slower
     fetches but correct and differentiable.
     """
-    bh, bw = background.data.shape[-3], background.data.shape[-2]
-    layers = [(background.data, bh, bw)]
-    if stack is not None:
-        sh, sw = stack.data.shape[1], stack.data.shape[2]
-        layers += [(stack.data[i], sh, sw) for i in range(stack.data.shape[0])]
-    hp = max(h for _, h, _ in layers)
-    wp = max(w for _, _, w in layers)
-    rows = []
-    for src, h, w in layers:
-        r = _pair_rows(src.astype(jnp.float32), h, w)
-        r = jnp.pad(r, ((0, hp + 1 - r.shape[0]),
-                        (0, wp * 8 - r.shape[1])))
-        rows.append(r)
-    wrap = jnp.asarray([[w, h] for _, h, w in layers], jnp.float32)
-    return FetchAtlas(data=jnp.stack(rows), wrap=wrap)
+    layers = _atlas_layers(background, stack)
+    wrap, base, gpr, total_rows = _atlas_tables(layers)
+    _check_atlas_bytes(total_rows * 128 * jnp.dtype(dtype).itemsize)
+    sheets = [_quad_rows(src.astype(jnp.float32), h, w).astype(dtype)
+              for src, h, w in layers]
+    return FetchAtlas(data=jnp.concatenate(sheets, axis=0),
+                      wrap=jnp.asarray(wrap), base=jnp.asarray(base),
+                      gpr=jnp.asarray(gpr))
 
 
 _ATLAS_CACHE = []
@@ -384,7 +445,8 @@ _ATLAS_CACHE_MAX = 4
 
 
 def build_atlas_cached(background: Texture,
-                       stack: Optional["TextureStack"] = None) -> FetchAtlas:
+                       stack: Optional["TextureStack"] = None,
+                       dtype=jnp.float32) -> FetchAtlas:
     """:func:`build_atlas` memoized on the IDENTITY of the source arrays.
 
     Why identity-memoized: a renderer traced under jit sees concrete
@@ -402,32 +464,35 @@ def build_atlas_cached(background: Texture,
     bg_d = background.data
     st_d = stack.data if stack is not None else None
     if isinstance(bg_d, jax.core.Tracer) or isinstance(st_d, jax.core.Tracer):
-        return build_atlas(background, stack)
-    for i, (b, s, atlas) in enumerate(_ATLAS_CACHE):
-        if b is bg_d and s is st_d:
+        return build_atlas(background, stack, dtype)
+    np_dtype = np.dtype(dtype)
+    for i, (b, s, dt, atlas) in enumerate(_ATLAS_CACHE):
+        if b is bg_d and s is st_d and dt == np_dtype:
             if i:
                 _ATLAS_CACHE.insert(0, _ATLAS_CACHE.pop(i))
             return atlas
-    # Build in NUMPY: jnp ops on concrete arrays still TRACE inside jit
-    # (rebuilding the atlas every frame and leaking tracers into the cache);
-    # the numpy path runs on the host exactly once and uploads one real
-    # device constant.
+    # Build in NUMPY: jnp ops on concrete arrays (including the per-layer
+    # stack indexing in _atlas_layers) still TRACE inside jit — rebuilding
+    # the atlas every frame and leaking tracers into the cache; the numpy
+    # path runs on the host exactly once and uploads one real device
+    # constant.
     bg_np = np.asarray(bg_d, np.float32)
     layers = [(bg_np, bg_np.shape[0], bg_np.shape[1])]
     if stack is not None:
         st_np = np.asarray(st_d, np.float32)
         sh, sw = st_np.shape[1], st_np.shape[2]
         layers += [(st_np[i], sh, sw) for i in range(st_np.shape[0])]
-    hp = max(h for _, h, _ in layers)
-    wp = max(w for _, _, w in layers)
-    data = np.zeros((len(layers), hp + 1, wp * 8), np.float32)
-    for li, (srcl, h, w) in enumerate(layers):
-        paired = np.concatenate([srcl[:h, :w], np.roll(srcl[:h, :w], -1,
-                                                       axis=1)], axis=-1)
-        paired = paired.reshape(h, w * 8)
-        data[li, :h, :w * 8] = paired
-        data[li, h, :w * 8] = paired[0]
-    wrap = np.asarray([[w, h] for _, h, w in layers], np.float32)
+    wrap, base, gpr, total_rows = _atlas_tables(layers)
+    _check_atlas_bytes(total_rows * 128 * np_dtype.itemsize)
+    data = np.zeros((total_rows, 128), np_dtype)
+    for (srcl, h, w), b0, g in zip(layers, base, gpr):
+        s = srcl[:h, :w]
+        quads = np.concatenate(
+            [s, np.roll(s, -1, axis=1), np.roll(s, -1, axis=0),
+             np.roll(np.roll(s, -1, axis=1), -1, axis=0)], axis=-1)
+        if g * 8 != w:
+            quads = np.pad(quads, ((0, 0), (0, g * 8 - w), (0, 0)))
+        data[b0:b0 + h * g] = quads.reshape(h * g, 128)
     # Upload ONCE as a real device array under ensure_compile_time_eval():
     # a plain jnp conversion inside a caller's trace would be a per-trace
     # tracer (leaking through the cache), and a raw NUMPY constant gets
@@ -436,33 +501,40 @@ def build_atlas_cached(background: Texture,
     # A concrete device array closure rides as a compiled-program parameter:
     # the constant-operand gather fast path without the serialization.
     with jax.ensure_compile_time_eval():
-        atlas = FetchAtlas(data=jnp.asarray(data), wrap=jnp.asarray(wrap))
-    _ATLAS_CACHE.insert(0, (bg_d, st_d, atlas))
+        atlas = FetchAtlas(data=jnp.asarray(data), wrap=jnp.asarray(wrap),
+                           base=jnp.asarray(base), gpr=jnp.asarray(gpr))
+    _ATLAS_CACHE.insert(0, (bg_d, st_d, np_dtype, atlas))
     del _ATLAS_CACHE[_ATLAS_CACHE_MAX:]
     return atlas
 
 
-def _wrap_of(atlas: FetchAtlas, layer):
-    """Per-lane (wrapW, wrapH) via an unrolled select chain (the layer table
-    is tiny; a real gather would pay per-index latency)."""
-    wr = atlas.wrap
+def _layer_tables(atlas: FetchAtlas, layer):
+    """Per-lane (wrapW, wrapH, base, gpr) via an unrolled select chain (the
+    layer table is tiny; a real gather would pay per-index latency)."""
+    wr, bs, gp = atlas.wrap, atlas.base, atlas.gpr
     out_w = jnp.broadcast_to(wr[0, 0], layer.shape)
     out_h = jnp.broadcast_to(wr[0, 1], layer.shape)
+    out_b = jnp.broadcast_to(bs[0], layer.shape)
+    out_g = jnp.broadcast_to(gp[0], layer.shape)
     for j in range(1, wr.shape[0]):
         sel = layer == j
         out_w = jnp.where(sel, wr[j, 0], out_w)
         out_h = jnp.where(sel, wr[j, 1], out_h)
-    return out_w, out_h
+        out_b = jnp.where(sel, bs[j], out_b)
+        out_g = jnp.where(sel, gp[j], out_g)
+    return out_w, out_h, out_b, out_g
 
 
 def atlas_fetch(atlas: FetchAtlas, layer, u, v):
-    """Bilinear GL_REPEAT sample of ``layer`` at (u, v) — one gather per
-    lane.  Per lane bit-compatible with :func:`sample_texture` (layer 0) /
-    :func:`sample_stack` (layer i+1, caller passes the same rescaled uv):
-    identical texel values through the identical lerp."""
+    """Bilinear GL_REPEAT sample of ``layer`` at (u, v) — one whole-row
+    (1, 128) quadrow gather per lane plus an in-register one-hot quad
+    select.  Per lane bit-compatible with :func:`sample_texture` (layer 0)
+    / :func:`sample_stack` (layer i+1, caller passes the same rescaled uv)
+    when the atlas is f32: identical texel values through the identical
+    lerp."""
     batch = u.shape
     layer = jnp.clip(layer, 0, atlas.wrap.shape[0] - 1)
-    w, h = _wrap_of(atlas, layer)
+    w, h, base, gpr = _layer_tables(atlas, layer)
     x = u * w - 0.5
     y = v * h - 0.5
     x0 = jnp.floor(x)
@@ -473,18 +545,19 @@ def atlas_fetch(atlas: FetchAtlas, layer, u, v):
     # ints in f32; matches the int mod of the per-operand samplers).
     x0i = jnp.mod(x0, w).astype(jnp.int32)
     y0i = jnp.mod(y0, h).astype(jnp.int32)
-    idx = jnp.stack(
-        [jnp.broadcast_to(layer, batch).astype(jnp.int32), y0i, x0i * 8],
-        axis=-1).reshape(-1, 3)
+    g = (base + y0i * gpr + (x0i >> 3)).reshape(-1, 1)
+    q = (x0i & 7).reshape(-1)
     dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(0,),
-        start_index_map=(0, 1, 2))
-    c = jax.lax.gather(
-        atlas.data, idx, dnums, slice_sizes=(1, 2, 8),
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    rows = jax.lax.gather(
+        atlas.data, g, dnums, slice_sizes=(1, 128),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    ).reshape(batch + (2, 2, 4))
-    c00, c10 = c[..., 0, 0, :], c[..., 0, 1, :]
-    c01, c11 = c[..., 1, 0, :], c[..., 1, 1, :]
+    ).astype(jnp.float32).reshape(-1, 8, 16)
+    onehot = (q[:, None] == jnp.arange(8, dtype=jnp.int32)[None]
+              ).astype(jnp.float32)
+    quad = jnp.einsum("nqf,nq->nf", rows, onehot).reshape(batch + (4, 4))
+    c00, c10 = quad[..., 0, :], quad[..., 1, :]
+    c01, c11 = quad[..., 2, :], quad[..., 3, :]
     top = c00 + fx * (c10 - c00)
     bot = c01 + fx * (c11 - c01)
     return top + fy * (bot - top)

@@ -601,3 +601,87 @@ def test_tile_sparse_wrapper_overflow_return():
                               overflow="return")
     assert img.shape == (64, 256, 4)
     assert int(n_over) == 0
+
+
+def test_pixel_hash_np_twin_bit_identical():
+    """The numpy twin behind the static per-lane pre-compaction must match
+    the jnp mask bit for bit (the survivor list is a compile-time constant)."""
+    from schwarzschild_tpu.render import pixel_hash_rand, pixel_hash_rand_np
+
+    for w, h, s in ((256, 128, 5), (1280, 720, 0), (48, 32, 7)):
+        np.testing.assert_array_equal(
+            np.asarray(pixel_hash_rand(w, h, s)), pixel_hash_rand_np(w, h, s))
+
+
+def test_lane_sparse_wrapper_parity():
+    """The static per-lane pre-compaction path (noise_mode='hash' at a
+    qualifying size) matches the jnp renderer, including crosshair over
+    skipped pixels (frag:845-857 draws it before the noise test)."""
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    for crosshair in (False, True):
+        cfg = st.RenderConfig(width=512, height=128, percent_black=0.6,
+                              noise_mode="hash", noise_seed=3,
+                              crosshair=crosshair)
+        ref = np.asarray(JR(sc, cam, cfg, bg, tex, 1.0))
+        fast = np.asarray(render_fast(sc, cam, cfg, bg, tex, 1.0,
+                                      interpret=True))
+        d = np.abs(ref - fast).max(-1)
+        ok = (d < 2e-3).mean()
+        assert ok > 0.995, f"crosshair={crosshair}: {ok:.4f}, max {d.max():.3g}"
+
+
+def test_lane_sparse_overflow_return():
+    """overflow='return' passes the count through the lane-sparse wrapper."""
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    cfg = st.RenderConfig(width=512, height=128, percent_black=0.6,
+                          noise_mode="hash")
+    img, n_over = render_fast(sc, cam, cfg, bg, tex, 1.0, interpret=True,
+                              overflow="return")
+    assert img.shape == (128, 512, 4)
+    assert int(n_over) == 0
+
+
+def test_lane_sparse_radial_slack():
+    """A noise-DROPPED radial pixel still renders flat (reference order:
+    radiality before the noise skip, frag:866-881) via the dynamic slack
+    tiles of the lane-sparse path."""
+    import jax.numpy as jnp
+
+    from schwarzschild_tpu import camera as cam_mod
+    from schwarzschild_tpu import textures as tx
+    from schwarzschild_tpu.render import pixel_hash_rand_np
+    from schwarzschild_tpu.scene import Light, build_scene
+
+    W, H = 512, 128
+    # Build a camera whose (y0, x0) pixel ray is EXACTLY radial: place the
+    # camera at -t * dir(y0, x0) so normalize(origin) == -direction there.
+    y0, x0 = 37, 200
+    fov = 90.0
+    fl = 1.0 / np.tan(fov / 360.0 * np.pi)
+    u0 = 2.0 * (x0 + 0.5) / W - 1.0
+    v0 = (1.0 - 2.0 * (y0 + 0.5) / H) * (H / W)
+    d = np.array([u0, v0, fl], np.float32)
+    d /= np.linalg.norm(d)
+    # identity axes: right=x, up=y, forward=z
+    # +20*d: the radial ray points AWAY from the hole (pure background); at
+    # -20*d it would look straight at the horizon and flat-render opaque
+    # black, indistinguishable from a noise-skip.
+    cam = cam_mod.Camera(pos=jnp.asarray(20.0 * d),
+                         axes=jnp.eye(3, dtype=jnp.float32),
+                         fov=jnp.float32(fov))
+    sc = build_scene([], [Light()])
+    bg = tx.solid_color_texture((0.2, 0.4, 0.6, 1.0))
+    # Seed chosen so the radial pixel is NOISE-DROPPED (rnd <= pb).
+    seed = next(s for s in range(50)
+                if pixel_hash_rand_np(W, H, s)[y0, x0] <= 0.9)
+    cfg = st.RenderConfig(width=W, height=H, percent_black=0.9,
+                          noise_mode="hash", noise_seed=seed)
+    img = np.asarray(render_fast(sc, cam, cfg, bg, None, 1.0, interpret=True))
+    # The radial pixel shows the (flat) background, not noise-black.
+    assert img[y0, x0, :3].max() > 0.1, img[y0, x0]
