@@ -1,0 +1,150 @@
+"""PARITY_r04: full-resolution native-f64-oracle parity with boundary
+classification (VERDICT r3 item 5 / round-2 item 6).
+
+Renders BASELINE config 2 (horizon+sky, 512x512) and config 3 (planets
+scene, 1024x1024) three ways:
+
+  * the native C++ f64 oracle (oracle/native.py — line-faithful
+    black_hole.frag semantics at double precision, the ground truth);
+  * the jnp differentiable renderer, compiled on the TPU;
+  * the Mosaic fast path (render_fast: Pallas march + atlas composition),
+    compiled on the TPU.
+
+Every out-of-tolerance pixel is classified by its distance (in pixels) to
+the nearest IMAGE DISCONTINUITY of the oracle render — object silhouettes,
+the photon ring, texture/checker edges: exactly the places where an f32
+march that lands a hair to one side of a discrete decision produces a
+legitimately different color than an f64 march.  The parity claim is that
+ALL disagreements live on such boundaries: `nonboundary_gt_tol` at
+distance > 2 px must be 0.
+
+Writes PARITY_r04.json.
+"""
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import schwarzschild_tpu as st
+from schwarzschild_tpu import configs
+from schwarzschild_tpu.compile_cache import enable_persistent_cache
+from schwarzschild_tpu.kernel_scene import render_fast
+from schwarzschild_tpu.oracle import OracleScene
+from schwarzschild_tpu.oracle import native as onative
+from schwarzschild_tpu.textures import build_atlas_cached
+
+TOL = 2e-3
+CONTRAST = 0.02  # oracle 3x3 max-min above this = image discontinuity
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+def _dilate(mask, r):
+    out = mask.copy()
+    for _ in range(r):
+        m = out
+        for ax in (0, 1):
+            for sh in (-1, 1):
+                rolled = np.roll(m, sh, axis=ax)
+                # np.roll wraps; kill the wrapped edge row/col
+                if ax == 0:
+                    rolled[0 if sh == 1 else -1, :] = False
+                else:
+                    rolled[:, 0 if sh == 1 else -1] = False
+                out = out | rolled
+        out = out | m
+    return out
+
+
+def _boundary(oracle_rgb):
+    """3x3 local max-min contrast of the oracle image (max over channels)."""
+    mx = oracle_rgb.copy()
+    mn = oracle_rgb.copy()
+    for ax in (0, 1):
+        for sh in (-1, 1):
+            r = np.roll(oracle_rgb, sh, axis=ax)
+            mx = np.maximum(mx, r)
+            mn = np.minimum(mn, r)
+    d = np.roll(np.roll(oracle_rgb, 1, 0), 1, 1)
+    for sy in (-1, 1):
+        for sx in (-1, 1):
+            r = np.roll(np.roll(oracle_rgb, sy, 0), sx, 1)
+            mx = np.maximum(mx, r)
+            mn = np.minimum(mn, r)
+    return ((mx - mn).max(-1) > CONTRAST)
+
+
+def classify(name, gold, img, out):
+    d = np.abs(gold - img).max(-1)
+    bad = d > TOL
+    bound = _boundary(gold[..., :3])
+    res = {
+        "max_abs_diff": float(d.max()),
+        "frac_within_tol": float((~bad).mean()),
+        "n_gt_tol": int(bad.sum()),
+        "finite": bool(np.isfinite(img).all()),
+    }
+    for r in (0, 1, 2, 3):
+        res[f"nonboundary_gt_tol_r{r}"] = int((bad & ~_dilate(bound, r)).sum())
+    out["results"][name] = res
+    log(f"{name}: max {d.max():.3g} frac<{TOL} {(~bad).mean():.5f} "
+        f"nonb(r2) {res['nonboundary_gt_tol_r2']}")
+
+
+def main():
+    enable_persistent_cache()
+    assert jax.devices()[0].platform != "cpu", jax.devices()
+    out = {"round": 4, "tol": TOL, "contrast": CONTRAST,
+           "device": str(jax.devices()[0]),
+           "metric": "native f64 oracle parity at full resolution, "
+                     "disagreements classified by distance to the nearest "
+                     "oracle image discontinuity",
+           "results": {}}
+
+    def dump():
+        with open("/root/repo/PARITY_r04.json", "w") as f:
+            json.dump(out, f, indent=2)
+
+    render_j = jax.jit(st.render, static_argnames="cfg")
+
+    for cname, conf, size in (("config2_512", configs.config2_curved(), 512),
+                              ("config3_1024", configs.config3_full_scene(),
+                               1024)):
+        sc, cam, bg, tex = (conf["scene"], conf["camera"], conf["background"],
+                            conf["tex"])
+        cfg = st.RenderConfig(width=size, height=size, percent_black=-1.0)
+        t0 = time.time()
+        osc = OracleScene.from_scene(sc, background=np.asarray(bg.data),
+                                     tex=tex)
+        gold = onative.render_image(
+            osc, np.asarray(cam.pos), np.asarray(cam.axes),
+            float(np.asarray(cam.fov)), size, size,
+            percent_black=-1.0).astype(np.float32)
+        log(f"{cname} oracle done ({time.time() - t0:.1f}s)")
+
+        t0 = time.time()
+        ref = np.asarray(render_j(sc, cam, cfg, bg, tex, 1.0))
+        log(f"{cname} jnp done ({time.time() - t0:.1f}s)")
+        classify(f"{cname}_jnp_vs_oracle", gold, ref, out)
+        dump()
+
+        atlas = build_atlas_cached(bg, tex)
+        t0 = time.time()
+        fast = np.asarray(jax.jit(
+            lambda r, a: render_fast(sc, cam, cfg, bg, tex, r,
+                                     overflow="ignore", atlas=a)
+        )(jnp.float32(1.0), atlas))
+        log(f"{cname} fast done ({time.time() - t0:.1f}s)")
+        classify(f"{cname}_fast_vs_oracle", gold, fast, out)
+        classify(f"{cname}_fast_vs_jnp", ref, fast, out)
+        dump()
+
+    log("wrote PARITY_r04.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -594,6 +594,301 @@ def _final_outputs(state, n_slots):
     return tuple(outs)
 
 
+# ---------------------------------------------------------------------------
+# Pallas ADJOINT kernel: the march backward at kernel speed (VERDICT r3
+# item 3).  The jnp-twin VJP measured 86-101 ms at 512^2 on v5e (vs 6.3 ms
+# kernel forward) — the scan state (~36 planes, 38 MB) round-trips HBM every
+# step, three sweeps deep.  This kernel keeps everything VMEM-resident:
+#
+#   phase 1  replay the forward march (the exact _make_march_body) over the
+#            tile, SAVING the 18-plane core state per step into VMEM scratch
+#            (101 x 18 x (8, 128) f32 = 7.4 MB — fits the ~16 MB VMEM);
+#   phase 2  sweep backward applying jax.vjp of a REDUCED step (<- traced
+#            in-kernel, so the adjoint code is still machine-derived, not
+#            hand-written): the reduced step recomputes the far-field,
+#            RK4, polar->Cartesian and segment math, but NOT the scene
+#            intersection — every discrete decision is replayed from the
+#            saved states (any_hit = the nhits delta, capture/opaque = the
+#            status transition, moved = live transition, reinit = the cheap
+#            far-sphere test), so the backward needs no scene tables at all.
+#
+# Gradients follow the framework's documented convention (SURVEY section 7):
+# continuous sensitivities at FIXED discrete decisions.  Slot cotangents are
+# injected at each slot's recording step (take_k = any_hit & nhits == k).
+# ---------------------------------------------------------------------------
+
+# Core planes saved per step (order matters: scratch rows index this list).
+_CORE = ("px", "py", "pz", "dx", "dy", "dz", "nx", "ny", "nz",
+         "tx", "ty", "tz", "u", "du", "phi")
+_SAVED = _CORE + ("live", "status", "nhits")
+
+
+def _init_core(ox, oy, oz, dx, dy, dz):
+    """The differentiable slice of _init_march_state (same math/guards)."""
+    inv_len_o = _rnorm(ox, oy, oz)
+    nx, ny, nz = ox * inv_len_o, oy * inv_len_o, oz * inv_len_o
+    tx, ty, tz, nd0 = _tangent_of(nx, ny, nz, dx, dy, dz)
+    u = inv_len_o
+    dt0 = _dot3(tx, ty, tz, dx, dy, dz)
+    du = -u * nd0 / jnp.where(jnp.abs(dt0) < 1e-12, 1e-12, dt0)
+    return (ox, oy, oz, dx, dy, dz, nx, ny, nz, tx, ty, tz, u, du,
+            jnp.zeros_like(u))
+
+
+def _make_diff_step(max_steps, max_angle, u_f):
+    """The reduced (scene-free) step: core -> (new core, slot-record values)
+    at FIXED masks.  Bit-identical math to _make_march_body's differentiable
+    path — any edit there must be mirrored here (parity pinned by
+    tests/test_adjoint.py's pallas-vs-twin gradient tests)."""
+    f32 = jnp.float32
+    dot3, rnorm, tangent_of = _dot3, _rnorm, _tangent_of
+
+    def diff_step(i, core, masks, rs):
+        (px, py, pz, dx, dy, dz, nx, ny, nz, tx, ty, tz, u, du, phi) = core
+        reinit, moved = masks
+        sel = jnp.where
+
+        # Far-field re-init values (body lines: big sphere hit + new basis).
+        ocx, ocy, ocz = px, py, pz
+        d_oc = dot3(dx, dy, dz, ocx, ocy, ocz)
+        oc2 = dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+        radius = 1.0 / u_f
+        disc = d_oc * d_oc - oc2 + radius * radius
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-20))
+        lam1 = -d_oc - sq
+        lam2 = -d_oc + sq
+        big_lam = sel((lam1 > 0) & (lam2 > 0), jnp.minimum(lam1, lam2),
+                      sel(lam1 > 0, lam1, sel(lam2 > 0, lam2, -1.0)))
+        hx = px + big_lam * dx
+        hy = py + big_lam * dy
+        hz = pz + big_lam * dz
+        inv_h = rnorm(hx, hy, hz)
+        nnx, nny, nnz = hx * inv_h, hy * inv_h, hz * inv_h
+        nd = dot3(nnx, nny, nnz, dx, dy, dz)
+        ntx, nty, ntz, _ = tangent_of(nnx, nny, nnz, dx, dy, dz)
+        dt = dot3(ntx, nty, ntz, dx, dy, dz)
+        new_u = inv_h
+        new_du = -new_u * nd / sel(jnp.abs(dt) < 1e-12, 1e-12, dt)
+
+        nx = sel(reinit, nnx, nx)
+        ny = sel(reinit, nny, ny)
+        nz = sel(reinit, nnz, nz)
+        tx = sel(reinit, ntx, tx)
+        ty = sel(reinit, nty, ty)
+        tz = sel(reinit, ntz, tz)
+        u0 = sel(reinit, new_u, u)
+        du0 = sel(reinit, new_du, du)
+
+        step = (max_angle - phi) / (max_steps - i).astype(f32)
+        phi_new = phi + step
+        d_u, d_du = physics.rk4_step(u0, du0, step, rs)
+        u1 = u0 + d_u
+        du1 = du0 + d_du
+
+        u_rec = jnp.maximum(u1, 1e-6)
+        inv_u = 1.0 / u_rec
+        cphi, sphi = jnp.cos(phi_new), jnp.sin(phi_new)
+        npx = (cphi * nx + sphi * tx) * inv_u
+        npy = (cphi * ny + sphi * ty) * inv_u
+        npz = (cphi * nz + sphi * tz) * inv_u
+        ddx = npx - px
+        ddy = npy - py
+        ddz = npz - pz
+        inv_seg = rnorm(ddx, ddy, ddz)
+        seg_len = 1.0 / inv_seg
+        sdx, sdy, sdz = ddx * inv_seg, ddy * inv_seg, ddz * inv_seg
+
+        new_core = (
+            sel(moved, npx, px), sel(moved, npy, py), sel(moved, npz, pz),
+            sel(moved, sdx, dx), sel(moved, sdy, dy), sel(moved, sdz, dz),
+            nx, ny, nz, tx, ty, tz,
+            sel(moved, u1, u0), sel(moved, du1, du0),
+            sel(moved, phi_new, phi),
+        )
+        slot_vals = (px, py, pz, sdx, sdy, sdz, seg_len)
+        return new_core, slot_vals
+
+    return diff_step
+
+
+def _scene_march_bwd_kernel(rs_ref, *refs, n_slots, max_steps, max_angle,
+                            u_f, table_names, table_rows):
+    """refs: [tables...] + [ox,oy,oz,dx,dy,dz,act]
+    + cotangents [d_fdx,d_fdy,d_fdz,d_fpx,d_fpy,d_fpz]
+    + per-slot [d_sx,d_sy,d_sz,d_sdx,d_sdy,d_sdz,d_slen]*K
+    + outputs [g_ox,g_oy,g_oz,g_dx,g_dy,g_dz,g_rs]
+    + scratch save (max_steps+1, len(_SAVED), bh, bw)."""
+    f32 = jnp.float32
+    r_s = rs_ref[0, 0]
+    n_tab = len(table_names)
+    tabs = dict(zip(table_names, refs[:n_tab]))
+    refs = refs[n_tab:]
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref = refs[:7]
+    ct_fd = refs[7:10]
+    ct_fp = refs[10:13]
+    ct_slots = [refs[13 + 7 * k:13 + 7 * (k + 1)] for k in range(n_slots)]
+    out_refs = refs[13 + 7 * n_slots:13 + 7 * n_slots + 7]
+    save = refs[13 + 7 * n_slots + 7]
+
+    marching = act_ref[:] > 0.5
+
+    # ---------------- phase 1: forward replay with state saves ------------
+    state = _init_march_state(ox_ref[:], oy_ref[:], oz_ref[:],
+                              dx_ref[:], dy_ref[:], dz_ref[:],
+                              marching, n_slots=0)
+    body = _make_march_body(r_s, tabs, table_rows=table_rows, n_slots=0,
+                            max_steps=max_steps, max_angle=max_angle, u_f=u_f)
+
+    def fwd_body(i, s):
+        for j, name in enumerate(_SAVED):
+            save[i, j] = s[name]
+        return body(i, s)
+
+    state = jax.lax.fori_loop(0, max_steps, fwd_body, state)
+    for j, name in enumerate(_SAVED):
+        save[max_steps, j] = state[name]
+
+    # ---------------- phase 2: reverse sweep ------------------------------
+    diff_step = _make_diff_step(max_steps, max_angle, u_f)
+    rs_plane = jnp.full(ox_ref.shape, r_s, f32)
+    zero = jnp.zeros(ox_ref.shape, f32)
+
+    # Adjoint init from the final-output cotangents (_final_outputs: fdir =
+    # final dx.., fpos = final px..; status/nhits are non-differentiable).
+    ct0 = [ct_fp[0][:], ct_fp[1][:], ct_fp[2][:],
+           ct_fd[0][:], ct_fd[1][:], ct_fd[2][:]] + [zero] * 9 + [zero]
+
+    def bwd_body(t, carry):
+        i = max_steps - 1 - t
+        ct = carry[:15]
+        g_rs = carry[15]
+
+        s_in = [save[i, j] for j in range(len(_SAVED))]
+        core_in = tuple(s_in[:15])
+        live_in = s_in[15] > 0.5
+        st_in = s_in[16]
+        nh_in = s_in[17]
+        live_out = save[i + 1, 15] > 0.5
+        st_out = save[i + 1, 16]
+        nh_out = save[i + 1, 17]
+
+        # Discrete decisions, replayed (no scene tables needed).
+        any_hit = nh_out > nh_in
+        captured = (st_out == f32(STATUS_CAPTURED)) & (st_in != f32(STATUS_CAPTURED))
+        opq = (st_out == f32(STATUS_HIT_OPAQUE)) & (st_in != f32(STATUS_HIT_OPAQUE))
+        moved = live_out | captured | opq
+        # reinit: ff & big_ok & ~radial — recomputed exactly as the body did.
+        u_in = s_in[12]
+        ff = live_in & (u_in < u_f)
+        d_oc = _dot3(s_in[3], s_in[4], s_in[5], s_in[0], s_in[1], s_in[2])
+        oc2 = _dot3(s_in[0], s_in[1], s_in[2], s_in[0], s_in[1], s_in[2])
+        radius = 1.0 / u_f
+        disc = d_oc * d_oc - oc2 + radius * radius
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-20))
+        lam1 = -d_oc - sq
+        lam2 = -d_oc + sq
+        big_lam = jnp.where((lam1 > 0) & (lam2 > 0), jnp.minimum(lam1, lam2),
+                            jnp.where(lam1 > 0, lam1,
+                                      jnp.where(lam2 > 0, lam2, -1.0)))
+        big_ok = (disc >= 0.0) & (big_lam >= 0.0)
+        hx = s_in[0] + big_lam * s_in[3]
+        hy = s_in[1] + big_lam * s_in[4]
+        hz = s_in[2] + big_lam * s_in[5]
+        inv_h = _rnorm(hx, hy, hz)
+        nd = _dot3(hx * inv_h, hy * inv_h, hz * inv_h,
+                   s_in[3], s_in[4], s_in[5])
+        radial = jnp.abs(nd) >= 1.0 - _EPS
+        reinit = ff & big_ok & ~radial
+        masks = (reinit, moved)
+
+        # Slot cotangents recorded at THIS step (take_k = any_hit & nh == k).
+        ct_slot = []
+        for j in range(7):
+            acc = zero
+            for k in range(n_slots):
+                take_k = any_hit & (nh_in == f32(k))
+                acc = acc + jnp.where(take_k, ct_slots[k][j][:], 0.0)
+            ct_slot.append(acc)
+
+        _, vjp = jax.vjp(
+            lambda core, rp: diff_step(i, core, masks, rp), core_in, rs_plane)
+        ct_core, ct_rs = vjp((tuple(ct), tuple(ct_slot)))
+        return tuple(ct_core) + (g_rs + ct_rs,)
+
+    carry = jax.lax.fori_loop(0, max_steps, bwd_body, tuple(ct0))
+    ct_core0 = carry[:15]
+    g_rs = carry[15]
+
+    _, init_vjp = jax.vjp(_init_core, ox_ref[:], oy_ref[:], oz_ref[:],
+                          dx_ref[:], dy_ref[:], dz_ref[:])
+    g_o_d = init_vjp(tuple(ct_core0))
+    for ref, val in zip(out_refs, tuple(g_o_d) + (g_rs,)):
+        ref[:] = val
+
+
+def march_scene_bwd(origin, direction, active, r_s, sc: Scene,
+                    cfg: RenderConfig, cotangents, n_slots: int = 4,
+                    block_h: int = 8, block_w: int = 128,
+                    interpret: bool = False, test_ray=None, tex=None):
+    """Pallas adjoint of :func:`march_scene` w.r.t. (origin, direction, r_s)
+    at fixed discrete decisions.  ``cotangents`` = (ct_fdir, ct_fpos,
+    ct_slots) with ct_slots a list of K (ct_start, ct_dir, ct_len).
+    Returns (g_origin, g_direction, g_r_s scalar)."""
+    H, W = active.shape
+    pad_h = (-H) % block_h
+    pad_w = (-W) % block_w
+
+    def pad(x):
+        return jnp.pad(x, ((0, pad_h), (0, pad_w)))
+
+    ct_fdir, ct_fpos, ct_slots = cotangents
+    comps = [pad(origin[..., i]) for i in range(3)]
+    comps += [pad(direction[..., i]) for i in range(3)]
+    comps += [pad(active.astype(jnp.float32))]
+    comps += [pad(ct_fdir[..., i]) for i in range(3)]
+    comps += [pad(ct_fpos[..., i]) for i in range(3)]
+    for cs, cd, cl in ct_slots:
+        comps += [pad(cs[..., i]) for i in range(3)]
+        comps += [pad(cd[..., i]) for i in range(3)]
+        comps += [pad(cl)]
+    ph, pw = comps[0].shape
+
+    tables = _pack_scene_smem(sc, test_ray=test_ray, r_s=r_s, tex=tex)
+    table_names = tuple(sorted(tables))
+    table_rows = {k: int(tables[k].shape[0]) for k in table_names}
+
+    grid = (ph // block_h, pw // block_w)
+    tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kernel = functools.partial(
+        _scene_march_bwd_kernel,
+        n_slots=n_slots, max_steps=cfg.max_steps,
+        max_angle=float(cfg.max_angle), u_f=float(cfg.u_f),
+        table_names=table_names, table_rows=table_rows)
+    n_in = 13 + 7 * n_slots
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[scalar] * (1 + len(table_names)) + [tile] * n_in,
+        out_specs=[tile] * 7,
+        out_shape=[jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 7,
+        scratch_shapes=[
+            pltpu.VMEM((cfg.max_steps + 1, len(_SAVED), block_h, block_w),
+                       jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(r_s, jnp.float32).reshape(1, 1),
+      *[tables[k] for k in table_names], *comps)
+
+    def crop(x):
+        return x[:H, :W]
+
+    g_origin = jnp.stack([crop(outs[0]), crop(outs[1]), crop(outs[2])], -1)
+    g_dir = jnp.stack([crop(outs[3]), crop(outs[4]), crop(outs[5])], -1)
+    g_rs = jnp.sum(crop(outs[6]))
+    return g_origin, g_dir, g_rs
+
+
 def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
                         max_steps, max_angle, u_f):
     """refs order: [tables...] + [ox..dz, act] + outputs
@@ -788,9 +1083,14 @@ def march_scene_jnp(origin, direction, active, r_s, sc: Scene,
 def march_scene_diff(origin, direction, active, r_s, sc: Scene,
                      cfg: RenderConfig, n_slots: int = 4,
                      interpret: bool = False, mesh=None,
-                     compact: bool = False, test_ray=None, tex=None):
-    """Differentiable scene march: Pallas kernel FORWARD, checkpointed
-    validity-march replay BACKWARD.
+                     compact: bool = False, test_ray=None, tex=None,
+                     backward: str = "pallas"):
+    """Differentiable scene march: Pallas kernel FORWARD, Pallas adjoint
+    kernel BACKWARD (``backward="pallas"``, default — :func:`march_scene_bwd`,
+    fully VMEM-resident) or the checkpointed validity-march replay
+    (``backward="replay"`` — the round-2 jnp path, kept as the gradient
+    oracle; it measured 86-101 ms at 512^2 on v5e vs the adjoint kernel's
+    kernel-speed sweep).
 
     Gradients flow to (origin, direction, r_s) — at fixed discrete decisions
     (which object, capture-vs-escape; SURVEY section 7 'gradients through
@@ -800,6 +1100,11 @@ def march_scene_diff(origin, direction, active, r_s, sc: Scene,
     scene/texture gradients flow through the slot re-intersection in
     :func:`render_fast` instead.
     """
+    if backward not in ("pallas", "replay"):
+        raise ValueError(f"unknown backward mode {backward!r}")
+    # The adjoint kernel runs per-tile outside shard_map plumbing; under a
+    # mesh the replay path (SPMD-partitionable scan) is used instead.
+    use_pallas_bwd = backward == "pallas" and mesh is None
 
     @jax.custom_vjp
     def f(origin, direction, r_s):
@@ -812,6 +1117,12 @@ def march_scene_diff(origin, direction, active, r_s, sc: Scene,
 
     def bwd(residuals, cotangent):
         origin, direction, r_s = residuals
+        if use_pallas_bwd:
+            ct_fdir, ct_fpos, _ct_status, ct_slots, _ct_nhits = cotangent
+            return march_scene_bwd(
+                origin, direction, active, r_s, sc, cfg,
+                (ct_fdir, ct_fpos, ct_slots), n_slots=n_slots,
+                interpret=interpret, test_ray=test_ray, tex=tex)
 
         def g(origin, direction, r_s):
             return march_scene_jnp(origin, direction, active, r_s, sc, cfg,

@@ -127,3 +127,52 @@ def test_march_bh_twin_matches_kernel():
     # FMA/fusion differences may flip decision-boundary lanes.
     assert ok_dir.mean() > 0.995
     assert ok_st.mean() > 0.995
+
+
+def test_pallas_adjoint_matches_replay_march_grads():
+    """The Pallas adjoint kernel (march_scene_bwd) matches the checkpointed
+    replay VJP on (origin, direction, r_s) gradients of ALL differentiable
+    march outputs — same fixed-decision convention, same guards; differences
+    are f32 reassociation only (measured <= ~5e-4 rel at 40-100 steps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import schwarzschild_tpu as st
+    from schwarzschild_tpu import camera as cm, configs, geometry as geo
+    from schwarzschild_tpu import physics
+    from schwarzschild_tpu.kernel_scene import march_scene_diff
+
+    W, H = 64, 16
+    cam = configs.demo_camera()
+    sc = configs.demo_scene()
+    u, v = cm.pixel_grid(W, H)
+    origin, direction = cm.generate_rays(cam, u, v, W, H)
+    active = ~physics.is_radial(direction, geo.safe_normalize(origin))
+    rng = np.random.default_rng(0)
+    ws = [jnp.asarray(rng.standard_normal((H, W, 3)), jnp.float32)
+          for _ in range(10)]
+    wl = [jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+          for _ in range(4)]
+    cfg = st.RenderConfig(width=W, height=H, max_steps=40,
+                          percent_black=-1.0, checkpoint_every=0)
+
+    def loss(o, d, r, backward):
+        fdir, fpos, status, slots, nhits = march_scene_diff(
+            o, d, active, r, sc, cfg, interpret=True, backward=backward)
+        t = jnp.sum(fdir * ws[0]) + jnp.sum(fpos * ws[1])
+        for k, (s0, d0, l0) in enumerate(slots):
+            t = (t + jnp.sum(s0 * ws[2 + 2 * k]) + jnp.sum(d0 * ws[3 + 2 * k])
+                 + jnp.sum(l0 * wl[k]))
+        return t
+
+    gr = jax.grad(loss, argnums=(0, 1, 2))(origin, direction,
+                                           jnp.float32(1.0), "replay")
+    gp = jax.grad(loss, argnums=(0, 1, 2))(origin, direction,
+                                           jnp.float32(1.0), "pallas")
+    for a, b in zip(gr[:2], gp[:2]):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b, a, atol=2e-3 * scale, rtol=0)
+    np.testing.assert_allclose(float(gp[2]), float(gr[2]), rtol=2e-3)

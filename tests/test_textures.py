@@ -544,3 +544,26 @@ def test_atlas_8k_budget_static():
     # cached-build path honors the same guard
     n_f32 = tx.atlas_nbytes(bg8k, dtype=jnp.float32)
     assert n_f32 == 2 * n_bf16
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path(
+        "/root/reference/assets/textures/background/8k.jpg").exists(),
+    reason="8k asset not present")
+def test_atlas_8k_real_asset_smoke():
+    """Load the real 8k background (main.cpp:57-63), build the bf16 quadrow
+    atlas, and fetch through it — the memory-safe 8k path end to end."""
+    from schwarzschild_tpu import configs
+
+    bg8 = tx.load_texture(
+        "/root/reference/assets/textures/background/8k.jpg")
+    assert bg8.data.shape[:2] == (4096, 8192)
+    n = tx.atlas_nbytes(bg8, dtype=jnp.bfloat16)
+    assert n <= 1.1e9  # the VERDICT r3 memory-sanity line
+    atlas = tx.build_atlas(bg8, dtype=jnp.bfloat16)
+    assert atlas.data.nbytes == n
+    u = jnp.asarray(np.linspace(0.01, 0.99, 64), jnp.float32)
+    v = jnp.asarray(np.linspace(0.01, 0.99, 64), jnp.float32)
+    got = np.asarray(tx.atlas_fetch(atlas, jnp.zeros((64,), jnp.int32), u, v))
+    ref = np.asarray(tx.sample_texture(bg8, u, v))
+    np.testing.assert_allclose(got, ref, atol=5e-3)
