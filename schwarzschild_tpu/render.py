@@ -310,20 +310,31 @@ def render(
     tex: Optional[TextureStack] = None,
     r_s=1.0,
     test_ray: Optional[TestRay] = None,
+    rows: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Render an (H, W, 4) image.  Jit with cfg static:
 
-        jit_render = jax.jit(render, static_argnames="cfg")
+        jit_render = jax.jit(render, static_argnames=("cfg", "rows"))
+
+    ``rows=(r0, r1)`` renders only image rows [r0, r1) of the full
+    cfg.height frame — an (r1-r0, W, 4) horizontal strip, bit-identical to
+    ``render(...)[r0:r1]`` (the NDC grid and the noise fields are built at
+    full frame size and sliced, so every per-pixel quantity matches).  Use
+    it to bound peak device memory on full-resolution stills: strips are
+    embarrassingly parallel, so a driver can loop strips on one chip and
+    concatenate on host.
     """
     r_s = jnp.asarray(r_s, jnp.float32)
-    state, ctx = _prepare(sc, cam, cfg, background, tex, r_s)
+    state, ctx = _prepare(sc, cam, cfg, background, tex, r_s, rows=rows)
     if cfg.raytrace_type != cam_mod.FLAT:
         state = _run_march(state, sc, cfg, r_s, ctx.tex, test_ray)
     return _finalize(state, ctx, sc, cfg, r_s, test_ray)
 
 
-def _prepare(sc, cam, cfg, background, tex, r_s):
-    """Rays, dispatch masks and the initial march state (frag:850-887)."""
+def _prepare(sc, cam, cfg, background, tex, r_s, rows=None):
+    """Rays, dispatch masks and the initial march state (frag:850-887).
+
+    ``rows=(r0, r1)``: restrict to that slice of image rows (see render)."""
     f32 = jnp.float32
     H, W = cfg.height, cfg.width
 
@@ -338,6 +349,9 @@ def _prepare(sc, cam, cfg, background, tex, r_s):
             tex = tex._replace(mips=build_mips(tex.data))
 
     u_ndc, v_ndc = cam_mod.pixel_grid(W, H)
+    if rows is not None:
+        r0, r1 = rows
+        u_ndc, v_ndc = u_ndc[r0:r1], v_ndc[r0:r1]
     origin, direction = cam_mod.generate_rays(cam, u_ndc, v_ndc, W, H)
     batch = u_ndc.shape
 
@@ -364,15 +378,19 @@ def _prepare(sc, cam, cfg, background, tex, r_s):
     uv_vec = jnp.stack([u_ndc, v_ndc * (H / W)], axis=-1)
     if cfg.percent_black >= 0.0 and cfg.noise_mode != "none":
         if cfg.noise_mode == "glsl":
-            rnd = glsl_rand(uv_vec)
+            rnd = glsl_rand(uv_vec)  # per-pixel from NDC: strip-safe as-is
         elif cfg.noise_mode == "hash":
             rnd = pixel_hash_rand(W, H, cfg.noise_seed)
         elif cfg.noise_mode == "tile":
             rnd = tile_hash_rand(W, H, cfg.noise_seed, cfg.noise_tile)
         elif cfg.noise_mode == "prng":
-            rnd = jax.random.uniform(jax.random.key(cfg.noise_seed), batch)
+            # Full-frame field so a strip render sees the same mask as the
+            # whole frame (sliced below with the other (H, W) fields).
+            rnd = jax.random.uniform(jax.random.key(cfg.noise_seed), (H, W))
         else:
             raise ValueError(f"unknown noise_mode {cfg.noise_mode!r}")
+        if rows is not None and rnd.shape == (H, W):
+            rnd = rnd[rows[0]:rows[1]]
         noise_skip = ~flat_px & (rnd <= f32(cfg.percent_black))
     else:
         noise_skip = jnp.zeros(batch, bool)

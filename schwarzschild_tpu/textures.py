@@ -120,46 +120,51 @@ def stack_textures(raw_images: Sequence[np.ndarray]) -> TextureStack:
     )
 
 
-def _wrap_pad(data):
+def _wrap_pad(data_cm):
     """Append one wrap row and column (REPEAT) so any (y0, x0) with
-    y0 < H, x0 < W can fetch its 2x2 bilinear footprint as ONE contiguous
-    slice.  Cheap bandwidth-bound copy; under jit XLA CSEs the pad across a
-    renderer's multiple sampling passes of the same texture."""
-    return jnp.concatenate(
-        [jnp.concatenate([data, data[..., :1, :, :]], axis=-3),
-         jnp.concatenate([data[..., :, :1, :], data[..., :1, :1, :]],
-                         axis=-3)],
-        axis=-2,
-    )
+    y0 < H, x0 < W can fetch its 2x2 bilinear footprint as ONE gather
+    slice.  Input/output are CHANNEL-MAJOR: (..., 4, H, W) -> (..., 4,
+    H+1, W+1).  Cheap bandwidth-bound copy; under jit XLA CSEs the pad
+    across a renderer's multiple sampling passes of the same texture."""
+    d = jnp.concatenate([data_cm, data_cm[..., :1, :]], axis=-2)
+    return jnp.concatenate([d, d[..., :, :1]], axis=-1)
 
 
-def _patch_gather(padded, y0i, x0i, layer=None):
+def _patch_gather(padded_cm, y0i, x0i, layer=None):
     """Fetch the 2x2x4 bilinear footprint at (y0, x0) with a single
     lax.gather (one index vector per lane instead of four separate gathers —
     TPU gathers are per-index latency-bound, so this is ~3-4x cheaper than
-    the naive four-corner fetch).  ``padded`` is (H+1, W+1, 4) from
-    :func:`_wrap_pad`, or (T, H+1, W+1, 4) with ``layer`` indexing the stack
-    axis.  Returns (..., 2, 2, 4) = [y, x] corners.
+    the naive four-corner fetch).  ``padded_cm`` is CHANNEL-MAJOR
+    (4, H+1, W+1) from :func:`_wrap_pad`, or (T, 4, H+1, W+1) with
+    ``layer`` indexing the stack axis.  Returns (..., 2, 2, 4) = [y, x]
+    corners, channel-minor for the lerp.
 
-    Always emits the LAYERED gather form — 3 index components with the
-    leading slice dim collapsed — adding a size-1 layer axis when the input
-    has none: XLA:TPU lowers that form to a fast vectorized fetch (6.9 ms
-    for 512^2 lanes on a 1601x1201 stack on v5e), while the rank-3 2-index
-    form hits a pathological serialized path (539 ms for the same work on a
-    2k background — 22x WORSE than four separate corner gathers)."""
+    Two TPU-specific choices (docs/tpu_cost_model.md section 1):
+      * the LAYERED gather form — 3 index components with the leading
+        slice dim collapsed — lowers to a fast vectorized fetch (6.9 ms
+        for 512^2 lanes on a 1601x1201 stack on v5e), while the rank-3
+        2-index form hits a pathological serialized path (539 ms for the
+        same work on a 2k background — 22x WORSE than four separate
+        corner gathers);
+      * CHANNEL-MAJOR operand layout: with channels minor, XLA tiles the
+        (..., 4) axis into 128 lanes — 42.7x HBM padding, 8.01 GB for the
+        6-layer 2048x1024 planets stack, an on-chip OOM at 1024^2 (r4).
+        Channel-major pads ~1.07x and measures the same speed (5.86 vs
+        5.79 ms per 262k lanes on v5e)."""
     batch = y0i.shape
     if layer is None:
-        padded = padded[None]
+        padded_cm = padded_cm[None]
         layer = jnp.zeros(batch, jnp.int32)
+    c = padded_cm.shape[-3]
     idx = jnp.stack(
         [jnp.broadcast_to(layer, batch), y0i, x0i], axis=-1).reshape(-1, 3)
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
-        start_index_map=(0, 1, 2))
+        start_index_map=(0, 2, 3))
     out = jax.lax.gather(
-        padded, idx, dnums, slice_sizes=(1, 2, 2, 4),
+        padded_cm, idx, dnums, slice_sizes=(1, c, 2, 2),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-    return out.reshape(batch + (2, 2, 4))
+    return jnp.moveaxis(out, 1, -1).reshape(batch + (2, 2, c))
 
 
 def _bilinear_gather(data, u, v):
@@ -176,7 +181,7 @@ def _bilinear_gather(data, u, v):
     x0i = jnp.mod(x0.astype(jnp.int32), w)
     y0i = jnp.mod(y0.astype(jnp.int32), h)
 
-    c = _patch_gather(_wrap_pad(data), y0i, x0i)
+    c = _patch_gather(_wrap_pad(jnp.moveaxis(data, -1, -3)), y0i, x0i)
     c00, c10 = c[..., 0, 0, :], c[..., 0, 1, :]
     c01, c11 = c[..., 1, 0, :], c[..., 1, 1, :]
     # lerp chains keep exact endpoints (1 stays exactly 1 for opaque alphas).
@@ -207,7 +212,8 @@ def sample_stack(stack: TextureStack, index, u, v):
     x0i = jnp.mod(x0.astype(jnp.int32), w)
     y0i = jnp.mod(y0.astype(jnp.int32), h)
 
-    c = _patch_gather(_wrap_pad(stack.data), y0i, x0i, layer=idx)
+    c = _patch_gather(_wrap_pad(jnp.moveaxis(stack.data, -1, -3)), y0i, x0i,
+                      layer=idx)
     c00, c10 = c[..., 0, 0, :], c[..., 0, 1, :]
     c01, c11 = c[..., 1, 0, :], c[..., 1, 1, :]
     top = c00 + fx * (c10 - c00)
@@ -561,6 +567,88 @@ def atlas_fetch(atlas: FetchAtlas, layer, u, v):
     top = c00 + fx * (c10 - c00)
     bot = c01 + fx * (c11 - c01)
     return top + fy * (bot - top)
+
+
+@jax.custom_vjp
+def _atlas_fetch_frozen(atlas: FetchAtlas, layer, u, v):
+    return atlas_fetch(atlas, layer, u, v)
+
+
+def _aff_fwd(atlas, layer, u, v):
+    batch = u.shape
+    layer_c = jnp.clip(layer, 0, atlas.wrap.shape[0] - 1)
+    w, h, base, gpr = _layer_tables(atlas, layer_c)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0, w).astype(jnp.int32)
+    y0i = jnp.mod(y0, h).astype(jnp.int32)
+    g = (base + y0i * gpr + (x0i >> 3)).reshape(-1, 1)
+    q = (x0i & 7).reshape(-1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    rows = jax.lax.gather(
+        atlas.data, g, dnums, slice_sizes=(1, 128),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    ).astype(jnp.float32).reshape(-1, 8, 16)
+    onehot = (q[:, None] == jnp.arange(8, dtype=jnp.int32)[None]
+              ).astype(jnp.float32)
+    quad = jnp.einsum("nqf,nq->nf", rows, onehot).reshape(batch + (4, 4))
+    c00, c10 = quad[..., 0, :], quad[..., 1, :]
+    c01, c11 = quad[..., 2, :], quad[..., 3, :]
+    top = c00 + fx * (c10 - c00)
+    bot = c01 + fx * (c11 - c01)
+    out = top + fy * (bot - top)
+    # Residuals: the two lerp derivative planes + the per-lane texel scales
+    # — 10 f32 planes, no gather and no branch machinery in the transpose.
+    # atlas/layer ride along (by reference) so bwd can emit the right-shaped
+    # zero cotangents; the zeros_like(data) is dead code the moment the
+    # caller doesn't differentiate the atlas, and XLA DCEs it.
+    d_dfx = (c10 - c00) + fy * ((c11 - c01) - (c10 - c00))
+    d_dfy = bot - top
+    return out, (atlas, layer, d_dfx, d_dfy, w, h)
+
+
+def _zero_ct(x):
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+def _aff_bwd(res, ct):
+    atlas, layer, d_dfx, d_dfy, w, h = res
+    d_u = jnp.sum(ct * d_dfx, axis=-1) * w
+    d_v = jnp.sum(ct * d_dfy, axis=-1) * h
+    return (jax.tree_util.tree_map(_zero_ct, atlas), _zero_ct(layer),
+            d_u, d_v)
+
+
+_atlas_fetch_frozen.defvjp(_aff_fwd, _aff_bwd)
+
+
+def atlas_fetch_frozen(atlas: FetchAtlas, layer, u, v):
+    """:func:`atlas_fetch` with a custom VJP that treats the TEXELS as
+    constants: gradients flow to (u, v) only, through saved lerp-derivative
+    residuals — no gather and no `lax.cond` branch machinery appears in the
+    transpose.
+
+    Why this exists (round-4 profiling): under jax.grad, each compose
+    level's tile-compaction `lax.cond` cost ~5.2 ms — AD through the cond
+    dragged the full-frame fetch into the backward program (the generic
+    fetch transpose re-traverses the gather+one-hot graph as a cond branch
+    operand, off the constant-operand fast path).  With this wrapper the
+    512^2 demo grad dropped 45.5 -> 27.9 ms on v5e.
+
+    Correct ONLY when the atlas is a constant w.r.t. the differentiated
+    parameters — true whenever the caller prebuilt it outside the grad
+    (the ``atlas=`` argument path) or from concrete textures.  Inverse
+    rendering that optimizes TEXELS builds a traced atlas and must use
+    :func:`atlas_fetch` (render_fast selects automatically)."""
+    return _atlas_fetch_frozen(atlas, layer, u, v)
 
 
 def atlas_fetch_compact(atlas: FetchAtlas, layer, u, v, want, cap):

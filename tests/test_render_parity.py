@@ -174,3 +174,24 @@ def test_r_s_parameter_shrinks_shadow():
     shadow_small = (small[..., :3].max(-1) < 0.1).sum()
     assert shadow_small < shadow_big
     assert shadow_small > 0
+
+
+def test_strip_render_bit_identical():
+    """render(rows=(r0, r1)) must equal the same rows of the full frame,
+    bitwise, for every per-pixel field (NDC grid, noise mask, crosshair) —
+    the contract benchmarks/parity_r04.py relies on to strip-render 1024^2
+    within HBM."""
+    sc = configs.demo_scene()
+    cam = configs.demo_camera()
+    bg = configs.background_texture()
+    tex = configs.demo_texture_stack()
+    cfg = st.RenderConfig(width=48, height=32, percent_black=0.5,
+                          noise_mode="prng", crosshair=True,
+                          checkpoint_every=0, max_steps=10)
+    jr = jax.jit(st.render, static_argnames=("cfg", "rows"))
+    full = np.asarray(jr(sc, cam, cfg, bg, tex, 1.0))
+    strip = np.concatenate(
+        [np.asarray(jr(sc, cam, cfg, bg, tex, 1.0, rows=(r, r + 8)))
+         for r in range(0, 32, 8)], axis=0)
+    assert full.shape == strip.shape
+    assert (full == strip).all()
