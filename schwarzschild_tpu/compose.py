@@ -47,7 +47,7 @@ import numpy as np
 from .intersect import intersect_scene
 from .scene import OBJECT_TYPE_SPECIAL, Scene
 from .shading import _concrete_none_negative, _gather, _shade_lit, texel_request
-from .textures import FetchAtlas, atlas_fetch
+from .textures import FetchAtlas, atlas_fetch, atlas_fetch_frozen
 
 # Tile shape for the trailing-domain compaction: one native f32 vector tile.
 TILE_H, TILE_W = 8, 128
@@ -150,8 +150,14 @@ def compose_atlas(
     compact_tiles: bool = True,
     max_levels: Optional[int] = None,
     return_pend: bool = False,
+    frozen_texels: bool = False,
 ):
     """Run all composition levels; returns (color, open, captured_shaded).
+
+    ``frozen_texels``: fetch through :func:`textures.atlas_fetch_frozen`
+    (custom-VJP, texels treated as constants) — set by render_fast whenever
+    the atlas cannot be a differentiation target; cuts the grad program's
+    per-level cond cost (see atlas_fetch_frozen's docstring).
 
     The returned ``color`` already includes every background contribution
     (scaled by ``bg_scale`` — pass ones when the horizon is hard).
@@ -160,6 +166,13 @@ def compose_atlas(
     horizon they are still owed scaled background on top of their black.
     """
     f32 = jnp.float32
+    fetch = atlas_fetch_frozen if frozen_texels else atlas_fetch
+    if frozen_texels:
+        # Cut the atlas out of the differentiated graph entirely: without
+        # this, every level's cond transpose emits an atlas-SIZED zero
+        # cotangent as a cond output (profiled: 5 x 0.58 ms of 381 MB zero
+        # broadcasts per 512^2 grad on v5e).
+        atlas = jax.tree_util.tree_map(jax.lax.stop_gradient, atlas)
     batch = bgu.shape
     n_slots = len(slots)
     m = sc.materials
@@ -239,7 +252,7 @@ def compose_atlas(
                 layer = jnp.zeros(b, jnp.int32)
                 fu, fv = P["bgu"], P["bgv"]
             # THE merged fetch: this lane's hit texel, or its sky texel.
-            fetched = atlas_fetch(atlas, layer, fu, fv)
+            fetched = fetch(atlas, layer, fu, fv)
             base_col = jnp.where(texel_want[..., None], fetched, base_col)
 
             nm_rgb = None
@@ -249,7 +262,7 @@ def compose_atlas(
                 nm_sizes = _gather(
                     tex.sizes, jnp.clip(nm_idx, 0, tex.sizes.shape[0] - 1))
                 nm_uv = req.uv * nm_sizes / tex.max_size
-                nm_fetched = atlas_fetch(
+                nm_fetched = fetch(
                     atlas, jnp.where(nm_want, nm_idx + 1, 0),
                     jnp.where(nm_want, nm_uv[..., 0], 0.0),
                     jnp.where(nm_want, nm_uv[..., 1], 0.0))
@@ -287,8 +300,8 @@ def compose_atlas(
         if soft:
             want = want | ((P["captured"] | (P["cap_drop"] & open_))
                            & ~P["bg_done"])
-        bg_fetched = atlas_fetch(atlas, jnp.zeros(b, jnp.int32), P["bgu"],
-                                 P["bgv"])
+        bg_fetched = fetch(atlas, jnp.zeros(b, jnp.int32), P["bgu"],
+                           P["bgv"])
         color = P["color"] + jnp.where(want[..., None],
                                        bg_fetched * P["bg_scale"], 0.0)
         return {**P, "color": color, "bg_done": P["bg_done"] | want}
@@ -354,7 +367,14 @@ def compose_atlas(
         P_comp.update(_scatter_tiles(P, dom, mutated, idx, nth, ntw))
 
         def full_branch(P):
-            out = level_body(P, k)
+            # remat: the cond's AD residuals are the UNION of both branches'
+            # residuals, so the (almost-never-taken) full-frame branch's
+            # intersect/shade/fetch intermediates ballast every grad call —
+            # profiled at ~5.2 ms per level on v5e at 512^2.  Under
+            # jax.checkpoint its residuals collapse to the operand P (already
+            # live) and the backward recomputes the branch only if it was
+            # actually taken.
+            out = jax.checkpoint(lambda q: level_body(q, k))(P)
             return tuple(out[key] for key in mutated)
 
         def comp_branch(P):

@@ -1660,6 +1660,15 @@ def render_fast(
         from .compose import compose_atlas
         from .textures import build_atlas_cached
 
+        # Texels are "frozen" (not a differentiation target) unless the
+        # atlas is being built from TRACED texture data inside this very
+        # trace (inverse rendering optimizing texels); a caller-provided
+        # atlas was built outside the grad and is frozen by construction.
+        import jax.core as _core
+
+        frozen = atlas is not None or not (
+            isinstance(background.data, _core.Tracer)
+            or (tex is not None and isinstance(tex.data, _core.Tracer)))
         if atlas is None:
             atlas = build_atlas_cached(background, tex)
         bgu, bgv = equirect_uv(use_dir)
@@ -1676,7 +1685,8 @@ def render_fast(
             use_pos=use_pos, use_dir=use_dir, bgu=bgu, bgv=bgv,
             bg_hard=bg_hard, bg_scale=bg_scale, soft=soft,
             cap_drop=cap_drop, open_init=open_, test_ray=test_ray,
-            compact_tiles=(compact_slots is not None and mesh is None))
+            compact_tiles=(compact_slots is not None and mesh is None),
+            frozen_texels=frozen)
         color = color + c_atlas
     else:
         # ---------------- legacy path (trilinear) ----------------
