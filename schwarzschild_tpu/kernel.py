@@ -86,7 +86,8 @@ def _init_bh_state(ox, oy, oz, dx, dy, dz, marching):
     )
 
 
-def _make_bh_body(r_s, *, max_steps: int, max_angle: float, u_f: float):
+def _make_bh_body(r_s, *, max_steps: int, max_angle: float, u_f: float,
+                  with_exit: bool = True):
     """Per-step horizon+sky march body(i, state) -> state; shared by the
     Pallas kernel and the differentiable jnp twin."""
     f32 = jnp.float32
@@ -199,6 +200,9 @@ def _make_bh_body(r_s, *, max_steps: int, max_angle: float, u_f: float):
             status=status, live=live.astype(f32),
         )
 
+    if not with_exit:
+        return body
+
     def body_with_exit(i, s):
         # Early tile exit (see kernel_scene._make_march_body): the body is
         # exactly the identity once every lane is done.
@@ -228,14 +232,23 @@ def _march_kernel(rs_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                            dx_ref[:], dy_ref[:], dz_ref[:],
                            act_ref[:] > 0.5)
     body = _make_bh_body(r_s, max_steps=max_steps, max_angle=max_angle,
-                         u_f=u_f)
-    # Whole-march skip for tiles dead at entry (see kernel_scene's
-    # _scene_march_kernel): the per-step cond alone leaves ~2/3 of a dead
-    # tile's cost on the table.
-    state = jax.lax.cond(
-        jnp.any(state["live"] > 0.5),
-        lambda s: jax.lax.fori_loop(0, max_steps, body, s),
-        lambda s: s, state)
+                         u_f=u_f, with_exit=False)
+
+    # Death-terminating march (see kernel_scene._scene_march_kernel): the
+    # loop condition fuses the step bound with the any-live check, so the
+    # tile stops paying the moment its last lane finishes — subsuming both
+    # the whole-march skip for dead-at-entry tiles and the per-step cond
+    # (whose any() reduction + branch cost ~2/3 of a bh step).
+    def march_cond(carry):
+        i, s = carry
+        return (i < max_steps) & jnp.any(s["live"] > 0.5)
+
+    def march_step(carry):
+        i, s = carry
+        return i + 1, body(i, s)
+
+    _, state = jax.lax.while_loop(march_cond, march_step,
+                                  (jnp.int32(0), state))
     fdx, fdy, fdz, final_status = _bh_final(state)
     fdx_ref[:] = fdx
     fdy_ref[:] = fdy

@@ -318,12 +318,14 @@ def _init_march_state(ox, oy, oz, dx, dy, dz, marching, n_slots):
 
 
 def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
-                     u_f):
+                     u_f, with_exit=True):
     """Build the per-step march function body(i, state) -> state.
 
     ``tabs`` maps table name -> (N, F) array (SMEM refs inside the kernel,
     jnp arrays in the twin); all math is identical either way.
-    """
+    ``with_exit=False`` returns the RAW body (no per-step any-live cond) —
+    for callers that run it under a death-terminating lax.while_loop, where
+    the per-step cond would be redundant overhead."""
     f32 = jnp.float32
 
     dot3 = _dot3
@@ -568,6 +570,9 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
         )
         return new_state
 
+    if not with_exit:
+        return body
+
     def body_with_exit(i, s):
         # Early tile exit: when every lane in the tile is done (captured,
         # escaped, flat-finished, or noise-skipped) the step body is exactly
@@ -737,16 +742,31 @@ def _scene_march_bwd_kernel(rs_ref, *refs, n_slots, max_steps, max_angle,
                               dx_ref[:], dy_ref[:], dz_ref[:],
                               marching, n_slots=0)
     body = _make_march_body(r_s, tabs, table_rows=table_rows, n_slots=0,
-                            max_steps=max_steps, max_angle=max_angle, u_f=u_f)
+                            max_steps=max_steps, max_angle=max_angle,
+                            u_f=u_f, with_exit=False)
 
-    def fwd_body(i, s):
+    # Replay terminates the moment every lane in the tile is done (dead
+    # steps are exactly the identity, so stopping is exact); ``last`` = the
+    # number of steps the tile actually executed.  The reverse sweep below
+    # starts there, skipping the dead tail entirely — the vjp of a dead
+    # step is the identity on every cotangent, and no hits happen after
+    # death so the slot injections there are zero too.
+    def fwd_cond(carry):
+        i, s = carry
+        return (i < max_steps) & jnp.any(s["live"] > 0.5)
+
+    def fwd_body(carry):
+        i, s = carry
         for j, name in enumerate(_SAVED):
             save[i, j] = s[name]
-        return body(i, s)
+        return i + 1, body(i, s)
 
-    state = jax.lax.fori_loop(0, max_steps, fwd_body, state)
+    last, state = jax.lax.while_loop(fwd_cond, fwd_body,
+                                     (jnp.int32(0), state))
+    # The sweep's step ``last - 1`` reads save[last] for its exit masks:
+    # store the frozen final state there.
     for j, name in enumerate(_SAVED):
-        save[max_steps, j] = state[name]
+        save[last, j] = state[name]
 
     # ---------------- phase 2: reverse sweep ------------------------------
     diff_step = _make_diff_step(max_steps, max_angle, u_f)
@@ -815,7 +835,12 @@ def _scene_march_bwd_kernel(rs_ref, *refs, n_slots, max_steps, max_angle,
         ct_core, ct_rs = vjp((tuple(ct), tuple(ct_slot)))
         return tuple(ct_core) + (g_rs + ct_rs,)
 
-    carry = jax.lax.fori_loop(0, max_steps, bwd_body, tuple(ct0))
+    # Early tile exit, reverse side: iterate only the steps the tile
+    # actually executed (i in [0, last)) via a dynamic lower bound — a tile
+    # that died at step s skips max_steps - s vjp steps with ZERO per-step
+    # cond cost, and a tile that never marched skips the whole sweep.
+    carry = jax.lax.fori_loop(max_steps - last, max_steps, bwd_body,
+                              tuple(ct0))
     ct_core0 = carry[:15]
     g_rs = carry[15]
 
@@ -905,16 +930,26 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
                               dx_ref[:], dy_ref[:], dz_ref[:],
                               act_ref[:] > 0.5, n_slots)
     body = _make_march_body(r_s, tabs, table_rows=table_rows, n_slots=n_slots,
-                            max_steps=max_steps, max_angle=max_angle, u_f=u_f)
-    # Whole-march skip for tiles DEAD AT ENTRY (tile-coherent noise masks,
-    # percent_black=0.75 kills 75% of tiles): the per-step early-exit cond
-    # still pays its any() reduction + branch every step (~2/3 of a live
-    # step, measured round 3), so a dead tile must skip the loop itself.
-    # Identity is exact: with no live lane every step body is the identity.
-    state = jax.lax.cond(
-        jnp.any(state["live"] > 0.5),
-        lambda s: jax.lax.fori_loop(0, max_steps, body, s),
-        lambda s: s, state)
+                            max_steps=max_steps, max_angle=max_angle,
+                            u_f=u_f, with_exit=False)
+
+    # Death-terminating march: the loop CONDITION fuses the step bound with
+    # the any-live check, so a tile stops paying the moment its last lane
+    # finishes (dead steps are exactly the identity — stopping is exact).
+    # This subsumes both round-3 forms: the whole-march skip for tiles dead
+    # at entry (tile-coherent noise masks kill 75% of tiles at
+    # percent_black=0.75) AND the per-step cond, whose any() reduction +
+    # branch still cost ~2/3 of a bh step for every dead-tail step.
+    def march_cond(carry):
+        i, s = carry
+        return (i < max_steps) & jnp.any(s["live"] > 0.5)
+
+    def march_step(carry):
+        i, s = carry
+        return i + 1, body(i, s)
+
+    _, state = jax.lax.while_loop(march_cond, march_step,
+                                  (jnp.int32(0), state))
     for ref, val in zip(out_refs, _final_outputs(state, n_slots)):
         ref[:] = val
 
