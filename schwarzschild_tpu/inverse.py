@@ -86,28 +86,51 @@ def realize(params: InverseParams, tex: Optional[TextureStack],
 
 def make_loss(sc: Scene, cfg: RenderConfig, background: Texture,
               tex: Optional[TextureStack], disk_slot: Optional[int],
-              target, renderer: str = "jnp"):
+              target, renderer: str = "jnp", pass_atlas: bool = False):
     """Mean-squared pixel error against ``target`` (H, W, 4).
 
     ``renderer="fast"`` renders through the Pallas kernel with the
     kernel-speed backward (``render_fast(differentiable=True)``); "jnp" is
-    the dense differentiable twin."""
+    the dense differentiable twin.
+
+    ``pass_atlas`` (fast only): the returned loss is ``loss_fn(params,
+    atlas)`` and the prebuilt FetchAtlas rides as an ARGUMENT instead of
+    being built at trace time inside the jit — required on the remote-
+    compile tunnel, which ships closure constants in the compile request
+    body (HTTP 413 past ~256 MB; the demo atlas is 381 MB).  Only valid
+    when the texels are NOT being optimized (``disk_slot is None``): a
+    prebuilt atlas is constant w.r.t. the parameters."""
     if renderer == "fast":
         from .kernel_scene import render_fast
 
-        def render_any(sc, cam, cfg, background, tex_p, r_s):
+        if pass_atlas and disk_slot is not None:
+            raise ValueError(
+                "pass_atlas requires disk_slot=None: optimizing texels "
+                "needs the atlas rebuilt from the traced stack each step")
+
+        def render_any(sc, cam, cfg, background, tex_p, r_s, atlas=None):
             return render_fast(sc, cam, cfg, background, tex_p, r_s,
-                               overflow="ignore", differentiable=True)
+                               overflow="ignore", differentiable=True,
+                               atlas=atlas)
     elif renderer == "jnp":
+        if pass_atlas:
+            raise ValueError("pass_atlas only applies to renderer='fast'")
         render_any = lambda sc, cam, cfg, background, tex_p, r_s: render(
             sc, cam, cfg, background, tex_p, r_s)
     else:
         raise ValueError(f"unknown renderer {renderer!r}")
 
-    def loss_fn(params: InverseParams):
-        cam, r_s, tex_p = realize(params, tex, disk_slot)
-        img = render_any(sc, cam, cfg, background, tex_p, r_s=r_s)
-        return jnp.mean((img - target) ** 2)
+    if pass_atlas:
+        def loss_fn(params: InverseParams, atlas):
+            cam, r_s, tex_p = realize(params, tex, disk_slot)
+            img = render_any(sc, cam, cfg, background, tex_p, r_s=r_s,
+                             atlas=atlas)
+            return jnp.mean((img - target) ** 2)
+    else:
+        def loss_fn(params: InverseParams):
+            cam, r_s, tex_p = realize(params, tex, disk_slot)
+            img = render_any(sc, cam, cfg, background, tex_p, r_s=r_s)
+            return jnp.mean((img - target) ** 2)
 
     return loss_fn
 
@@ -169,9 +192,12 @@ def default_optimizer(learning_rate=2e-2) -> optax.GradientTransformation:
 
 
 def make_train_step(loss_fn, optimizer: optax.GradientTransformation):
+    """``train_step(params, opt_state, *aux)`` — any extra positional args
+    (e.g. the prebuilt atlas from make_loss(pass_atlas=True)) ride through
+    to the loss as jit ARGUMENTS, not trace-time constants."""
     @jax.jit
-    def train_step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+    def train_step(params, opt_state, *aux):
+        loss, grads = jax.value_and_grad(loss_fn)(params, *aux)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -87,6 +87,10 @@ def check_bench_data(data, *, gate_frame=True):
     assert fps >= 30.0, f"interactive 720p regressed: {fps:.1f} fps < 30"
     assert data.get("grad_ms_512") is not None, \
         f"grad_512 skipped (budget must not drop targeted metrics): {data}"
+    ge = data.get("grad_effective_steps_per_s")
+    if ge is not None:
+        # Round-2 item 3's throughput target; r4 measures 1.33e9 on v5e.
+        assert ge >= 5e8, f"grad throughput regressed: {ge:.3g} < 5e8"
 
 
 def test_gate_catches_r03_regression():
