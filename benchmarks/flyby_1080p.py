@@ -3,7 +3,7 @@
 path, 16 frames.
 
 Artifacts written into the repo root / docs:
-  * FLYBY_r02.jsonl — per-frame timing records (MetricsLogger)
+  * FLYBY_r04.jsonl — per-frame timing records (MetricsLogger)
   * docs/flyby_f00.png, docs/flyby_f08.png — two full-res frames
   * docs/flyby_960x540.gif — 2x-downscaled animated GIF
 
@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--size", default="1920x1080",
                     help="WxH (reference default main.cpp:404)")
-    ap.add_argument("--out", default="/tmp/flyby_r02")
+    ap.add_argument("--out", default="/tmp/flyby_r04")
     ap.add_argument("--repo", default="/root/repo",
                     help="where to drop the checked-in artifacts")
     ap.add_argument("--cpu", action="store_true",
@@ -44,7 +44,7 @@ def main():
     c = configs.config4_animation(n_frames=args.frames)
     if (w, h) != (c["cfg"].width, c["cfg"].height):
         c["cfg"] = dataclasses.replace(c["cfg"], width=w, height=h)
-    logger = MetricsLogger(path=f"{args.repo}/FLYBY_r02.jsonl")
+    logger = MetricsLogger(path=f"{args.repo}/FLYBY_r04.jsonl")
     t0 = time.time()
     out = render_trajectory(
         c["scene"], c["cfg"], c["background"], c["tex"], times=c["times"],
