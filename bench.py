@@ -21,6 +21,11 @@ Workloads (all 512x512, max_steps=100, demo camera):
                   percent_black=0.75 noise skip (main.cpp:66), demo scene.
                   1/frame_interactive_ms is directly comparable to the
                   reference's on-screen FPS.
+  * frame_interactive_tile — the same workload with the TILE-coherent
+                  noise mask (noise_mode="tile" aligned to kernel blocks):
+                  the production default, where the skip actually reaches
+                  the death-terminating march (r4: 7.5 ms / 133 FPS vs
+                  21 ms / 47 FPS with the per-pixel hash).
   * grad_512    — jax.grad of a scalar loss of the differentiable fast
                   renderer (Pallas forward, Pallas ADJOINT kernel backward —
                   kernel_scene.march_scene_bwd, round 4) w.r.t. r_s at
@@ -240,6 +245,19 @@ def main():
                                                       chains=(4, 12)))
     t_int = ir[0] if ir else None
 
+    # Production variant of the same workload: TILE-coherent noise mask
+    # aligned to the kernel blocks (noise_mode="tile"), so skipped tiles
+    # coincide with kernel tiles and the death-terminating march actually
+    # fires — the per-pixel hash leaves every tile ~25% live.  Same skip
+    # fraction, same determinism/seed contract; the dropout pattern is
+    # blocky instead of per-pixel sparkle.
+    cfg_tile = st.RenderConfig(width=1280, height=720, percent_black=0.75,
+                               noise_mode="tile", noise_tile=(8, 128),
+                               checkpoint_every=0)
+    itr = run("frame_interactive_tile",
+              lambda: _time_chain(frame_chain(cfg_tile), chains=(4, 12)))
+    t_int_tile = itr[0] if itr else None
+
     # 8k background (main.cpp:57-63's compile-time option): bf16 atlas —
     # 8192x4096 quadrow f32 would be 2.1 GB; bf16 halves it (<=0.4% texel
     # error on the 8-bit JPEG source) and measured marginally FASTER.
@@ -306,6 +324,8 @@ def main():
         "frame_rays_per_s": ratio(float(size * size), t_frame),
         "interactive_720p_ms": ms(t_int),
         "interactive_720p_fps": ratio(1.0, t_int),
+        "interactive_720p_tile_ms": ms(t_int_tile),
+        "interactive_720p_tile_fps": ratio(1.0, t_int_tile),
         "grad_ms_512": ms(t_grad),
         "grad_vs_forward_frame": ratio(t_grad, t_frame),
         "grad_effective_steps_per_s": ratio(float(steps_per_frame), t_grad),

@@ -91,6 +91,11 @@ def check_bench_data(data, *, gate_frame=True):
     if ge is not None:
         # Round-2 item 3's throughput target; r4 measures 1.33e9 on v5e.
         assert ge >= 5e8, f"grad throughput regressed: {ge:.3g} < 5e8"
+    tfps = data.get("interactive_720p_tile_fps")
+    if tfps is not None:
+        # The production tile-coherent interactive path; r4 measures 133.
+        assert tfps >= 60.0, \
+            f"tile-coherent 720p regressed: {tfps:.1f} fps < 60"
 
 
 def test_gate_catches_r03_regression():
