@@ -175,10 +175,34 @@ def main():
     t_bh, totals_bh = _time_chain(bh_chain(nonradial, 16, 256))
     steps_per_s = steps_per_frame / t_bh
 
+    # Honest-throughput accounting (VERDICT r4 item 1): the death-terminating
+    # march stops a tile the moment its last lane finishes, so the nominal
+    # H*W*max_steps workload over-counts what the ALUs executed.  One extra
+    # (untimed) counting launch per kernel family reads the while-loop exit
+    # counters; VPU ops/lane-step and the peak model are documented in
+    # docs/tpu_cost_model.md section 8 (recompute with
+    # benchmarks/flops_count.py).
+    _BH_OPS_PER_STEP = 438.0
+    _SCENE_OPS_PER_STEP = 1088.0
+    _VPU_PEAK_OPS = 6.1e12  # v5e non-FMA-counted: 1024 lanes x 4 ALUs x 1.5 GHz
+    _, _, bh_exec = jax.jit(
+        lambda o, d, a: march_bh(o, d, a, 1.0, cfg, block_h=16, block_w=256,
+                                 count_steps=True))(origin, direction,
+                                                    nonradial)
+    bh_exec = float(bh_exec)
+    executed_steps_per_s = bh_exec / t_bh
+    bh_vpu_ops_per_s = executed_steps_per_s * _BH_OPS_PER_STEP
+
     sr = run("scene_dense",
              lambda: _time_chain(scene_chain(nonradial), chains=(4, 12)))
     t_scene, totals_scene = sr if sr else (None, {})
     scene_steps_per_s = steps_per_frame / t_scene if t_scene else None
+    scene_exec = None
+    if t_scene:
+        scene_exec = float(jax.jit(
+            lambda o, d, a: march_scene(o, d, a, 1.0, sc, cfg,
+                                        count_steps=True))(
+            origin, direction, nonradial)[-1])
 
     bgt = configs.background_texture()
     tex = configs.demo_texture_stack()
@@ -314,6 +338,22 @@ def main():
         "vs_baseline": steps_per_s / 1e9,
         "march_ms_per_frame": t_bh * 1e3,
         "rays_per_s": size * size / t_bh,
+        # Honest accounting: steps the ALUs actually executed (in-kernel
+        # while-loop counters) vs the nominal 100-step budget the headline
+        # counts — plus a VPU-utilization estimate (docs/tpu_cost_model.md
+        # section 8; peak model = v5e 6.1e12 non-FMA-counted ops/s).
+        "nominal_steps_per_s": steps_per_s,
+        "executed_steps_per_s": executed_steps_per_s,
+        "executed_step_frac": bh_exec / steps_per_frame,
+        "est_vpu_ops_per_step": _BH_OPS_PER_STEP,
+        "est_vpu_ops_per_s": bh_vpu_ops_per_s,
+        "est_vpu_util": bh_vpu_ops_per_s / _VPU_PEAK_OPS,
+        "scene_executed_steps_per_s": ratio(scene_exec, t_scene),
+        "scene_executed_step_frac": ratio(scene_exec,
+                                          float(steps_per_frame)),
+        "scene_est_vpu_util": ratio(
+            ratio(scene_exec, t_scene), _VPU_PEAK_OPS / _SCENE_OPS_PER_STEP)
+        if scene_exec is not None else None,
         "scene_steps_per_s_per_chip": scene_steps_per_s,
         "scene_march_ms_per_frame": ms(t_scene),
         "scene_vs_baseline": ratio(scene_steps_per_s, 1e9),

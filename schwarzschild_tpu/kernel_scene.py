@@ -915,10 +915,11 @@ def march_scene_bwd(origin, direction, active, r_s, sc: Scene,
 
 
 def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
-                        max_steps, max_angle, u_f):
+                        max_steps, max_angle, u_f, count_steps=False):
     """refs order: [tables...] + [ox..dz, act] + outputs
     [fdx,fdy,fdz,fpx,fpy,fpz,status,nhits] + per-slot
-    [px,py,pz,dx,dy,dz,len]*K."""
+    [px,py,pz,dx,dy,dz,len]*K (+ executed-steps plane when
+    ``count_steps`` — see kernel._march_kernel)."""
     r_s = rs_ref[0, 0]
 
     n_tab = len(table_names)
@@ -948,20 +949,25 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
         i, s = carry
         return i + 1, body(i, s)
 
-    _, state = jax.lax.while_loop(march_cond, march_step,
-                                  (jnp.int32(0), state))
-    for ref, val in zip(out_refs, _final_outputs(state, n_slots)):
+    n_exec, state = jax.lax.while_loop(march_cond, march_step,
+                                       (jnp.int32(0), state))
+    vals = _final_outputs(state, n_slots)
+    if count_steps:
+        vals = vals + (jnp.full(ox_ref.shape, n_exec.astype(jnp.float32)),)
+    for ref, val in zip(out_refs, vals):
         ref[:] = val
 
 
 def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
                 n_slots: int = 4, block_h: int = 16, block_w: int = 128,
                 interpret: bool = False, mesh=None, compact: bool = False,
-                test_ray=None, tex=None):
+                test_ray=None, tex=None, count_steps: bool = False):
     """Pallas scene march.  Returns (final_dir, final_pos, status, slots,
     nhits) where slots is a list of K (start (H,W,3), dir (H,W,3), length
     (H,W)) and nhits (H,W) counts ALL segment hits along each ray — uncapped,
     so ``nhits > n_slots`` flags rays whose extra hits were dropped.
+    ``count_steps=True`` appends a scalar: total EXECUTED lane-steps
+    (sum over tiles of loop iterations x lanes — see kernel.march_bh).
 
     ``mesh``: shard the march over image tiles via shard_map (scene tables
     and r_s replicated; every device launches the kernel on its local tile).
@@ -972,6 +978,9 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
     from concrete material/texture data (:func:`_opaque_flags`); rays
     stopped this way end with STATUS_HIT_OPAQUE.
     """
+    if count_steps and (mesh is not None or compact):
+        raise ValueError("count_steps: single-device, non-compact marches "
+                         "only (it is a benchmark accounting hook)")
     if mesh is not None:
         from .sharding import shard_march
 
@@ -1020,8 +1029,9 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
         max_steps=cfg.max_steps,
         max_angle=float(cfg.max_angle),
         u_f=float(cfg.u_f),
+        count_steps=count_steps,
     )
-    n_out = 8 + 7 * n_slots
+    n_out = 8 + 7 * n_slots + (1 if count_steps else 0)
     out_shape = [jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * n_out
     outs = pl.pallas_call(
         kernel,
@@ -1047,6 +1057,8 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
         sdir = jnp.stack([crop(outs[b + 3]), crop(outs[b + 4]), crop(outs[b + 5])], -1)
         slen = crop(outs[b + 6])
         slots.append((start, sdir, slen))
+    if count_steps:
+        return fdir, fpos, status, slots, nhits, jnp.sum(outs[-1])
     return fdir, fpos, status, slots, nhits
 
 

@@ -55,7 +55,7 @@ def _latest_bench_artifact():
     return arts[-1] if arts else None
 
 
-def check_bench_data(data, *, gate_frame=True):
+def check_bench_data(data, *, gate_frame=True, gate_r5=True):
     """The regression gate proper (VERDICT r3 weak #3: a 20x frame regression
     and a budget-skipped grad workload passed CI green).  Raises
     AssertionError on any regression:
@@ -66,9 +66,30 @@ def check_bench_data(data, *, gate_frame=True):
         dense frame slower than 15 ms is not "real-time");
       * interactive_720p_fps present and >= 30;
       * grad_512 present — the budget must never silently drop the workload
-        with an explicit round target (VERDICT r3 weak #6).
+        with an explicit round target (VERDICT r3 weak #6);
+      * round >= 5 (``gate_r5``): EXECUTED (not nominal) step throughput —
+        future wins must come from real speed, not from marching less
+        (VERDICT r4 item 1; r5 measures ~7.4e9 bh / ~2.5e9 scene executed
+        lane-steps/s on v5e) — plus the grad <= 2x forward-frame ratio
+        (VERDICT r4 item 3) and the 8k-atlas bytes ceiling (bf16 quadrow =
+        8192*4096*4 rows*4 ch*2 B ~ 1.07 GB; 1.3e9 caps accidental f32).
     """
     assert data["value"] >= 1e9, f"horizon+sky kernel regressed: {data}"
+    if gate_r5:
+        ex = data.get("executed_steps_per_s")
+        assert ex is not None, f"executed-step accounting missing: {data}"
+        assert ex >= 3e9, f"executed-step throughput regressed: {ex:.3g}"
+        sex = data.get("scene_executed_steps_per_s")
+        if sex is not None:
+            assert sex >= 1e9, \
+                f"scene executed-step throughput regressed: {sex:.3g}"
+        gr = data.get("grad_vs_forward_frame")
+        if gr is not None:
+            assert gr <= 2.0, \
+                f"grad step is {gr:.2f}x a forward frame (target <= 2x)"
+        ab = data.get("bg8k_atlas_bytes")
+        if ab is not None:
+            assert ab <= 1.3e9, f"8k atlas ballooned: {ab} bytes > 1.3e9"
     # Budget-skipped workloads omit their keys entirely (ADVICE r2); guard
     # with .get so a skipped run skips the threshold instead of TypeError.
     if data.get("scene_steps_per_s_per_chip") is not None:
@@ -108,7 +129,7 @@ def test_gate_catches_r03_regression():
     data = json.loads(art.read_text())
     data = data.get("parsed", data)
     with pytest.raises(AssertionError):
-        check_bench_data(data)
+        check_bench_data(data, gate_r5=False)
 
 
 def test_bench_thresholds():
@@ -137,4 +158,4 @@ def test_bench_thresholds():
         data = data[-1]
     data = data.get("parsed", data)  # driver artifacts wrap the line
     round_no = int(art.stem.split("_r")[-1])
-    check_bench_data(data, gate_frame=round_no >= 4)
+    check_bench_data(data, gate_frame=round_no >= 4, gate_r5=round_no >= 5)

@@ -77,6 +77,44 @@ def test_kernel_respects_active_mask():
                                atol=0)
 
 
+def test_kernel_executed_step_counter():
+    """count_steps: identical march results plus a sane executed-lane-steps
+    scalar — the honest-throughput receipt (VERDICT r4 item 1).  The counter
+    is bounded by the nominal budget, is zero for an all-dead image, and
+    counts every lane of every live tile."""
+    size = 32
+    cfg = st.RenderConfig(width=size, height=size, percent_black=-1.0,
+                          checkpoint_every=0)
+    cam = configs.demo_camera()
+    origin, direction, active = _rays(size, cam)
+    fd0, s0 = march_bh(origin, direction, active, 1.0, cfg, interpret=True)
+    fd1, s1, steps = march_bh(origin, direction, active, 1.0, cfg,
+                              interpret=True, count_steps=True)
+    np.testing.assert_array_equal(np.asarray(fd0), np.asarray(fd1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    n = float(steps)
+    # Padded lanes inside live tiles count (they occupy VPU lanes): the
+    # bound is the PADDED grid — (8, 128) blocks pad 32x32 to 32x128.
+    assert 0 < n <= 32 * 128 * cfg.max_steps
+    # The counter is a per-tile broadcast, so a multiple of the lane count.
+    assert n % (8 * 128) == 0
+    _, _, none = march_bh(origin, direction, jnp.zeros_like(active), 1.0,
+                          cfg, interpret=True, count_steps=True)
+    assert float(none) == 0.0
+
+    from schwarzschild_tpu.kernel_scene import march_scene
+
+    sc = configs.demo_scene()
+    out = march_scene(origin, direction, active, 1.0, sc, cfg,
+                      interpret=True, count_steps=True)
+    ref = march_scene(origin, direction, active, 1.0, sc, cfg,
+                      interpret=True)
+    assert len(out) == 6
+    np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(out[2]))
+    n_sc = float(out[-1])
+    assert 0 < n_sc <= 32 * 128 * cfg.max_steps
+
+
 def test_kernel_non_tile_aligned_shapes():
     """Padding: odd image sizes round-trip correctly."""
     W, H = 37, 23
