@@ -22,15 +22,15 @@ import jax.numpy as jnp
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def time_chain(make_chain, chains=(4, 12)):
+def time_chain(make_chain, atlas, chains=(4, 12)):
     totals = {}
     for chain in chains:
         fn = make_chain(chain)
-        float(fn(jnp.float32(1.0)))
+        float(fn(jnp.float32(1.0), atlas))
         best = float("inf")
         for i in range(3):
             t0 = time.perf_counter()
-            float(fn(jnp.float32(1.0 + 1e-5 * i)))
+            float(fn(jnp.float32(1.0 + 1e-5 * i), atlas))
             best = min(best, time.perf_counter() - t0)
         totals[chain] = best
     lo, hi = min(chains), max(chains)
@@ -64,11 +64,13 @@ def main():
     active = ~physics.is_radial(direction, geo.safe_normalize(origin))
 
     def chain_of(step):
+        # The atlas rides as a jit ARGUMENT (remote-compile tunnel ships
+        # closure constants: HTTP 413 past ~256 MB).
         def make(chain):
             @jax.jit
-            def chained(r0):
+            def chained(r0, atlas):
                 def body(r, _):
-                    return r + 1e-6 * step(r), None
+                    return r + 1e-6 * step(r, atlas), None
 
                 r, _ = jax.lax.scan(body, r0, None, length=chain)
                 return r
@@ -77,12 +79,13 @@ def main():
 
         return make
 
-    def fwd_frame(r):
+    def fwd_frame(r, atlas):
         img = render_fast(sc, cam, cfg, bgt, tex, r, overflow="ignore",
                           atlas=atlas)
         return jnp.mean(img)
 
-    def march_fwd(r):
+    def march_fwd(r, atlas):
+        del atlas
         fdir, fpos, s, slots, nh = march_scene(origin, direction, active, r,
                                                sc, cfg)
         return (jnp.mean(fdir) + jnp.mean(s) + 1e-9 * jnp.mean(slots[0][2])
@@ -95,20 +98,25 @@ def main():
                 + sum(jnp.mean(a) + jnp.mean(b) + jnp.mean(c)
                       for a, b, c in slots))
 
-    march_grad = jax.grad(march_loss)
+    def march_grad(r, atlas):
+        del atlas
+        return jax.grad(march_loss)(r)
 
-    def full_loss(r):
+    def full_loss(r, atlas):
         img = render_fast(sc, cam, cfg_grad, bgt, tex, r, overflow="ignore",
                           differentiable=True, atlas=atlas)
         return jnp.mean(img)
 
-    full_grad = jax.grad(full_loss)
+    def full_grad(r, atlas):
+        return jax.grad(full_loss)(r, atlas)
 
     out = {
-        "fwd_frame_ms": time_chain(chain_of(fwd_frame)) * 1e3,
-        "march_fwd_ms": time_chain(chain_of(march_fwd)) * 1e3,
-        "march_grad_ms": time_chain(chain_of(march_grad), chains=(2, 6)) * 1e3,
-        "full_grad_ms": time_chain(chain_of(full_grad), chains=(2, 6)) * 1e3,
+        "fwd_frame_ms": time_chain(chain_of(fwd_frame), atlas) * 1e3,
+        "march_fwd_ms": time_chain(chain_of(march_fwd), atlas) * 1e3,
+        "march_grad_ms": time_chain(chain_of(march_grad), atlas,
+                                    chains=(2, 6)) * 1e3,
+        "full_grad_ms": time_chain(chain_of(full_grad), atlas,
+                                   chains=(2, 6)) * 1e3,
     }
     out["adjoint_kernel_ms"] = out["march_grad_ms"] - out["march_fwd_ms"]
     out["slot_vjp_ms"] = (out["full_grad_ms"] - out["march_grad_ms"]

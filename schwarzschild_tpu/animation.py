@@ -11,6 +11,7 @@ outputs, SURVEY section 5 'failure detection').
 
 from __future__ import annotations
 
+import time
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -41,6 +42,8 @@ def render_trajectory(
     renderer: str = "jnp",
     prefetch: int = 2,
     png_compress_level: int = 1,
+    measure_device_ms: bool = False,
+    encode_workers: int = 2,
 ):
     """Render the hyperbolic flyby.
 
@@ -61,6 +64,19 @@ def render_trajectory(
     than PIL's default 6 for ~15-30% larger files — the right trade for
     animation frames that feed a video encoder anyway.  Pass 6+ for archival
     stills.
+
+    ``measure_device_ms``: measure pure device time per frame ONCE up front
+    (dependent-chain slope, docs/tpu_cost_model.md section 5 — naive
+    per-frame device timing is meaningless through the async tunnel) and
+    stamp it into every frame event as ``device_ms_est``, separating the
+    device / transfer+encode split in the artifact (VERDICT r4 item 5).
+    Costs two extra compiles.
+
+    ``encode_workers`` > 0 offloads PNG encoding to that many worker threads
+    (PIL's zlib compress releases the GIL), so frame i's encode overlaps
+    frame i+1's fetch and the device computing i+2; per-frame ``png_ms`` is
+    logged as separate "png" events when the futures drain.  0 = encode
+    inline in the fetch loop (the round-4 behavior).
     """
     if times is None:
         times = np.linspace(0.0, 1.0, n_frames)
@@ -122,6 +138,55 @@ def render_trajectory(
     if out_path:
         out_path.mkdir(parents=True, exist_ok=True)
 
+    device_ms_est = None
+    if measure_device_ms:
+        # Pure device time per frame, measured once (dependent-chain slope —
+        # naive per-frame timing through the async tunnel is meaningless;
+        # docs/tpu_cost_model.md section 5).  Uses the first frame's camera;
+        # frame cost along the trajectory varies only mildly.
+        import jax.numpy as jnp
+
+        cam_m = cam_mod.hyperbolic_trajectory(
+            base_cam, initial_distance, closest_distance, float(times[0]))
+        if renderer == "fast":
+            from .kernel_scene import render_fast as _rf
+            from .textures import build_atlas_cached as _bac
+
+            atlas_m = _bac(background, tex)
+            interp_m = jax.default_backend() != "tpu"
+
+            def one(r):
+                return jnp.mean(_rf(sc, cam_m, cfg, background, tex, r,
+                                    overflow="ignore", interpret=interp_m,
+                                    atlas=atlas_m))
+        else:
+            def one(r):
+                return jnp.mean(render(sc, cam_m, cfg, background, tex, r))
+
+        def mk(chain):
+            @jax.jit
+            def chained(r0):
+                def body(r, _):
+                    return r + 1e-9 * one(r), None
+
+                return jax.lax.scan(body, r0, None, length=chain)[0]
+
+            return chained
+
+        totals = {}
+        for chain in (3, 9):
+            fch = mk(chain)
+            float(fch(np.float32(1.0)))
+            best = float("inf")
+            for i in range(3):
+                t0 = time.perf_counter()
+                float(fch(np.float32(1.0 + 1e-5 * i)))
+                best = min(best, time.perf_counter() - t0)
+            totals[chain] = best
+        device_ms_est = (totals[9] - totals[3]) / 6.0 * 1e3
+        logger.log("device_ms_estimate", device_ms=device_ms_est,
+                   method="dependent-chain slope, frame-0 camera")
+
     # Pipeline: dispatch up to ``prefetch`` frames ahead of the blocking host
     # fetch, so PNG encode + the device->host transfer of frame i overlap the
     # device computing frames i+1..i+prefetch (JAX dispatch is async; only
@@ -131,18 +196,41 @@ def render_trajectory(
     # for non-overlapping per-frame timings.
     pending = []  # (idx, png_path_or_None, device_img, running FrameTimer)
 
+    executor = None
+    encode_futures = []
+    if encode_workers and out_path:
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=encode_workers)
+
+    def _encode(idx_, f_, img):
+        t0 = time.perf_counter()
+        from PIL import Image
+
+        # Already uint8 RGB (quantized on device).
+        Image.fromarray(img).save(f_, compress_level=png_compress_level)
+        return idx_, (time.perf_counter() - t0) * 1e3
+
     def _drain_one():
         idx_, f_, dimg, timer = pending.pop(0)
         # Host fetch as the barrier: through the axon tunnel
         # block_until_ready can return before the device finishes, but a
         # full transfer cannot.
+        t0 = time.perf_counter()
         img = np.asarray(dimg)
+        timer.add_fields(host_fetch_ms=(time.perf_counter() - t0) * 1e3)
+        if device_ms_est is not None:
+            timer.add_fields(device_ms_est=device_ms_est)
         timer.__exit__(None, None, None)
         if f_ is not None:
-            from PIL import Image
-
-            # Already uint8 RGB (quantized on device).
-            Image.fromarray(img).save(f_, compress_level=png_compress_level)
+            if executor is not None:
+                # Encode off-thread (PIL's zlib releases the GIL): overlaps
+                # the next frame's fetch and the device pipeline.
+                encode_futures.append(executor.submit(_encode, idx_, f_,
+                                                      img))
+            else:
+                _, png_ms = _encode(idx_, f_, img)
+                logger.log("png", frame=idx_, png_ms=png_ms)
             out.append((idx_, str(f_)))
         else:
             out.append((idx_, img))
@@ -167,6 +255,11 @@ def render_trajectory(
             _drain_one()
     while pending:
         _drain_one()
+    if executor is not None:
+        for fut in encode_futures:
+            idx_, png_ms = fut.result()
+            logger.log("png", frame=idx_, png_ms=png_ms)
+        executor.shutdown()
     return out
 
 

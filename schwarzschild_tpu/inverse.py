@@ -135,6 +135,51 @@ def make_loss(sc: Scene, cfg: RenderConfig, background: Texture,
     return loss_fn
 
 
+def make_multiview_loss(sc: Scene, cfg: RenderConfig, background: Texture,
+                        tex: Optional[TextureStack],
+                        disk_slot: Optional[int], targets, cam_offsets,
+                        renderer: str = "fast"):
+    """Mean MSE over V views; view i renders from the optimized camera
+    TRANSLATED by the known world-space offset ``cam_offsets[i]``.
+
+    This is the calibrated-rig construction that breaks the monocular
+    mass/distance gauge documented in INVERSE_r04 ("shadow angular size ~
+    r_s/|cam|: a single view cannot separate mass from camera distance"):
+    the offsets are KNOWN metric baselines (in scene units, r_s-scale), so
+    the parallax between views pins |cam| absolutely and the shadow size
+    then pins r_s.  Orientation and every other parameter stay shared and
+    free — the rig is rigid, its pose is not.
+
+    ``targets``: list of V (H, W, 4) images; ``cam_offsets``: list of V
+    (3,) offsets (use (0,0,0) for the primary view).
+    """
+    if len(targets) != len(cam_offsets):
+        raise ValueError("one camera offset per target view")
+    if renderer == "fast":
+        from .kernel_scene import render_fast
+
+        def render_any(sc, cam, cfg, background, tex_p, r_s):
+            return render_fast(sc, cam, cfg, background, tex_p, r_s,
+                               overflow="ignore", differentiable=True)
+    elif renderer == "jnp":
+        render_any = render
+    else:
+        raise ValueError(f"unknown renderer {renderer!r}")
+
+    offs = [jnp.asarray(o, jnp.float32) for o in cam_offsets]
+
+    def loss_fn(params: InverseParams):
+        cam, r_s, tex_p = realize(params, tex, disk_slot)
+        total = jnp.float32(0.0)
+        for tgt, off in zip(targets, offs):
+            cam_i = cam._replace(pos=cam.pos + off)
+            img = render_any(sc, cam_i, cfg, background, tex_p, r_s=r_s)
+            total = total + jnp.mean((img - tgt) ** 2)
+        return total / len(targets)
+
+    return loss_fn
+
+
 class ZeroNonfiniteState(NamedTuple):
     fired: jnp.ndarray  # () int32 — total non-finite entries zeroed so far
 
@@ -177,17 +222,26 @@ def nonfinite_fired(opt_state) -> int:
     return sum(counts)
 
 
-def default_optimizer(learning_rate=2e-2) -> optax.GradientTransformation:
+def default_optimizer(learning_rate=2e-2,
+                      decay_steps=None) -> optax.GradientTransformation:
     """Adam with non-finite-entry zeroing and global-norm clipping.
 
     The loss surface has visibility discontinuities and the march backward
     can emit non-finite entries on rare lanes; sanitize, then clip, then
     adam.
+
+    ``decay_steps``: cosine-decay the learning rate to ~0 over this many
+    steps (VERDICT r4 weak #4: the constant-LR r04 run oscillated 10x past
+    its loss minimum for 50 steps — a decaying tail settles instead).
     """
+    lr = learning_rate
+    if decay_steps:
+        lr = optax.cosine_decay_schedule(learning_rate, decay_steps,
+                                         alpha=0.01)
     return optax.chain(
         zero_nonfinite(),
         optax.clip_by_global_norm(1.0),
-        optax.adam(learning_rate),
+        optax.adam(lr),
     )
 
 

@@ -287,12 +287,20 @@ def _tangent_of(nx, ny, nz, dx, dy, dz):
     return tx * inv, ty * inv, tz * inv, nd
 
 
-def _init_march_state(ox, oy, oz, dx, dy, dz, marching, n_slots):
+def _init_march_state(ox, oy, oz, dx, dy, dz, marching, n_slots,
+                      events=False, max_steps=None):
     """Initial orbital-plane state (frag:865, 883-887) as a dict of arrays.
 
     Shared by the Pallas kernel (on VMEM tiles) and the jnp twin (on full
     (H, W) planes) — the backward pass rematerializes through the exact same
     math the kernel ran forward.
+
+    ``events``: additionally carry per-lane EVENT planes — ``t_end`` (step
+    index of the lane's terminal event; ``max_steps`` for exhausted lanes,
+    -1 for lanes that never march) and ``sstep{k}`` (step index at which
+    slot k recorded; -1 if never).  These are the residuals of the r5
+    scene-free adjoint kernel: given (t_end, status, sstep_k), the backward
+    replay needs no scene tables at all (see _scene_march_bwd_kernel).
     """
     f32 = jnp.float32
     inv_len_o = _rnorm(ox, oy, oz)
@@ -314,18 +322,24 @@ def _init_march_state(ox, oy, oz, dx, dy, dz, marching, n_slots):
     for k in range(n_slots):
         for fld in ("sx", "sy", "sz", "sdx", "sdy", "sdz", "slen"):
             state[f"{fld}{k}"] = zero
+    if events:
+        state["t_end"] = jnp.where(marching, f32(max_steps), f32(-1.0))
+        for k in range(n_slots):
+            state[f"sstep{k}"] = jnp.full_like(u, f32(-1.0))
     return state
 
 
 def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
-                     u_f, with_exit=True):
+                     u_f, with_exit=True, events=False):
     """Build the per-step march function body(i, state) -> state.
 
     ``tabs`` maps table name -> (N, F) array (SMEM refs inside the kernel,
     jnp arrays in the twin); all math is identical either way.
     ``with_exit=False`` returns the RAW body (no per-step any-live cond) —
     for callers that run it under a death-terminating lax.while_loop, where
-    the per-step cond would be redundant overhead."""
+    the per-step cond would be redundant overhead.
+    ``events``: also update the t_end/sstep{k} event planes (see
+    _init_march_state) — ~6 extra selects per step."""
     f32 = jnp.float32
 
     dot3 = _dot3
@@ -548,6 +562,9 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
             new_state[f"sdy{k}"] = sel(take, sdy, s[f"sdy{k}"])
             new_state[f"sdz{k}"] = sel(take, sdz, s[f"sdz{k}"])
             new_state[f"slen{k}"] = sel(take, seg_len, s[f"slen{k}"])
+            if events:
+                new_state[f"sstep{k}"] = sel(take, i.astype(f32),
+                                             s[f"sstep{k}"])
         # Count every hit (uncapped): hits with nh >= n_slots simply match no
         # slot above, so final nhits > n_slots detects dropped recordings.
         nh = jnp.where(any_hit, nh + 1.0, nh)
@@ -556,6 +573,11 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
         status = jnp.where(captured, f32(STATUS_CAPTURED), status)
         status = jnp.where(opq_closest, f32(STATUS_HIT_OPAQUE), status)
         live = live & ~captured & ~opq_closest
+        if events:
+            # The four terminal events are disjoint (each gates on the
+            # progressively-narrowed live mask).
+            terminal = finish | escaped | captured | opq_closest
+            new_state["t_end"] = sel(terminal, i.astype(f32), s["t_end"])
 
         moved = live | captured | opq_closest
         new_state.update(
@@ -584,9 +606,10 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
     return body_with_exit
 
 
-def _final_outputs(state, n_slots):
+def _final_outputs(state, n_slots, events=False):
     """Final march state -> flat tuple of component planes (kernel output
-    order): (fdx, fdy, fdz, fpx, fpy, fpz, status, nhits, *slots)."""
+    order): (fdx, fdy, fdz, fpx, fpy, fpz, status, nhits, *slots
+    [, t_end, *ssteps])."""
     f32 = jnp.float32
     final_status = jnp.where(state["live"] > 0.5, f32(STATUS_ESCAPED),
                              state["status"])
@@ -596,36 +619,55 @@ def _final_outputs(state, n_slots):
     for k in range(n_slots):
         for fld in ("sx", "sy", "sz", "sdx", "sdy", "sdz", "slen"):
             outs.append(state[f"{fld}{k}"])
+    if events:
+        outs.append(state["t_end"])
+        for k in range(n_slots):
+            outs.append(state[f"sstep{k}"])
     return tuple(outs)
 
 
 # ---------------------------------------------------------------------------
 # Pallas ADJOINT kernel: the march backward at kernel speed (VERDICT r3
-# item 3).  The jnp-twin VJP measured 86-101 ms at 512^2 on v5e (vs 6.3 ms
-# kernel forward) — the scan state (~36 planes, 38 MB) round-trips HBM every
-# step, three sweeps deep.  This kernel keeps everything VMEM-resident:
+# item 3; redesigned SCENE-FREE in r5 per VERDICT r4 item 3).  The jnp-twin
+# VJP measured 86-101 ms at 512^2 on v5e (vs 6.3 ms kernel forward) — the
+# scan state (~36 planes, 38 MB) round-trips HBM every step, three sweeps
+# deep.  This kernel keeps everything VMEM-resident:
 #
-#   phase 1  replay the forward march (the exact _make_march_body) over the
-#            tile, SAVING the 18-plane core state per step into VMEM scratch
-#            (101 x 18 x (8, 128) f32 = 7.4 MB — fits the ~16 MB VMEM);
-#   phase 2  sweep backward applying jax.vjp of a REDUCED step (<- traced
-#            in-kernel, so the adjoint code is still machine-derived, not
-#            hand-written): the reduced step recomputes the far-field,
-#            RK4, polar->Cartesian and segment math, but NOT the scene
-#            intersection — every discrete decision is replayed from the
-#            saved states (any_hit = the nhits delta, capture/opaque = the
-#            status transition, moved = live transition, reinit = the cheap
-#            far-sphere test), so the backward needs no scene tables at all.
+#   phase 1  replay ONLY the differentiable core (the ~440-op _make_diff_step
+#            — far-field, RK4, polar->Cartesian, segment) over the tile,
+#            SAVING the 15 core planes per step into VMEM scratch
+#            (100 x 15 x (8, 128) f32 = 6.1 MB — fits the ~16 MB VMEM);
+#   phase 2  sweep backward applying jax.vjp of that same reduced step
+#            (traced in-kernel, so the adjoint code is machine-derived, not
+#            hand-written).
+#
+# The r4 version replayed the FULL march body — scene tables, per-segment
+# validity intersections (~1090 ops/step vs the core's ~440) — just to
+# regenerate the discrete decisions (live/status/nhits transitions).  r5
+# moves that information into per-lane EVENT PLANES recorded by the forward
+# kernel (march_scene(events=True)): t_end (terminal-event step), status
+# (how it died), sstep_k (slot-k recording step).  From these every mask is
+# a comparison against the step index:
+#
+#   live_in(i) = i <= t_end          (never-marched lanes have t_end = -1)
+#   moved(i)   = i < t_end  |  (i == t_end & status in {CAPTURED, OPAQUE})
+#   reinit(i)  = live_in & u < u_f & far-sphere re-entry & ~radial
+#                (recomputed inside diff_step from the replayed core —
+#                 bit-identical to the forward body's test)
+#   take_k(i)  = sstep_k == i        (slot cotangent injection)
+#
+# so the backward needs NO scene tables at all: phase 1 drops from ~1090 to
+# ~440 ops/step and the scratch from 18 to 15 planes/step (measured 17.6 ->
+# ~8 ms adjoint at 512^2 dense on v5e).
 #
 # Gradients follow the framework's documented convention (SURVEY section 7):
-# continuous sensitivities at FIXED discrete decisions.  Slot cotangents are
-# injected at each slot's recording step (take_k = any_hit & nhits == k).
+# continuous sensitivities at FIXED discrete decisions — the event planes
+# and the booleans computed inside diff_step carry no tangents.
 # ---------------------------------------------------------------------------
 
 # Core planes saved per step (order matters: scratch rows index this list).
 _CORE = ("px", "py", "pz", "dx", "dy", "dz", "nx", "ny", "nz",
          "tx", "ty", "tz", "u", "du", "phi")
-_SAVED = _CORE + ("live", "status", "nhits")
 
 
 def _init_core(ox, oy, oz, dx, dy, dz):
@@ -642,15 +684,19 @@ def _init_core(ox, oy, oz, dx, dy, dz):
 
 def _make_diff_step(max_steps, max_angle, u_f):
     """The reduced (scene-free) step: core -> (new core, slot-record values)
-    at FIXED masks.  Bit-identical math to _make_march_body's differentiable
-    path — any edit there must be mirrored here (parity pinned by
-    tests/test_adjoint.py's pallas-vs-twin gradient tests)."""
+    at FIXED masks (live_in, moved).  Bit-identical math to
+    _make_march_body's differentiable path — any edit there must be mirrored
+    here (parity pinned by tests/test_adjoint.py's pallas-vs-twin gradient
+    tests).  ``reinit`` is derived INTERNALLY (live_in & far-field &
+    re-entry & ~radial — the same comparisons the body runs, on the same
+    replayed values); booleans carry no tangents, so this is still the
+    fixed-decision gradient."""
     f32 = jnp.float32
     dot3, rnorm, tangent_of = _dot3, _rnorm, _tangent_of
 
     def diff_step(i, core, masks, rs):
         (px, py, pz, dx, dy, dz, nx, ny, nz, tx, ty, tz, u, du, phi) = core
-        reinit, moved = masks
+        live_in, moved = masks
         sel = jnp.where
 
         # Far-field re-init values (body lines: big sphere hit + new basis).
@@ -674,6 +720,12 @@ def _make_diff_step(max_steps, max_angle, u_f):
         dt = dot3(ntx, nty, ntz, dx, dy, dz)
         new_u = inv_h
         new_du = -new_u * nd / sel(jnp.abs(dt) < 1e-12, 1e-12, dt)
+
+        # reinit = ff & big_ok & ~radial, exactly as the body computes it
+        # (body lines: far-field rule) — from the replayed core, no tangents.
+        big_ok = (disc >= 0.0) & (big_lam >= 0.0)
+        radial = jnp.abs(nd) >= 1.0 - _EPS
+        reinit = live_in & (u < u_f) & big_ok & ~radial
 
         nx = sel(reinit, nnx, nx)
         ny = sel(reinit, nny, ny)
@@ -717,62 +769,66 @@ def _make_diff_step(max_steps, max_angle, u_f):
 
 
 def _scene_march_bwd_kernel(rs_ref, *refs, n_slots, max_steps, max_angle,
-                            u_f, table_names, table_rows):
-    """refs: [tables...] + [ox,oy,oz,dx,dy,dz,act]
+                            u_f):
+    """refs: [ox,oy,oz,dx,dy,dz] + [status, t_end] + [sstep_0..K-1]
     + cotangents [d_fdx,d_fdy,d_fdz,d_fpx,d_fpy,d_fpz]
     + per-slot [d_sx,d_sy,d_sz,d_sdx,d_sdy,d_sdz,d_slen]*K
     + outputs [g_ox,g_oy,g_oz,g_dx,g_dy,g_dz,g_rs]
-    + scratch save (max_steps+1, len(_SAVED), bh, bw)."""
+    + scratch save (max_steps, len(_CORE), bh, bw).
+
+    Scene-free (see the block comment above): every discrete decision comes
+    from the event planes the forward kernel recorded, so neither phase
+    touches a scene table."""
     f32 = jnp.float32
     r_s = rs_ref[0, 0]
-    n_tab = len(table_names)
-    tabs = dict(zip(table_names, refs[:n_tab]))
-    refs = refs[n_tab:]
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref = refs[:7]
-    ct_fd = refs[7:10]
-    ct_fp = refs[10:13]
-    ct_slots = [refs[13 + 7 * k:13 + 7 * (k + 1)] for k in range(n_slots)]
-    out_refs = refs[13 + 7 * n_slots:13 + 7 * n_slots + 7]
-    save = refs[13 + 7 * n_slots + 7]
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = refs[:6]
+    st_ref, te_ref = refs[6:8]
+    ss_refs = refs[8:8 + n_slots]
+    base = 8 + n_slots
+    ct_fd = refs[base:base + 3]
+    ct_fp = refs[base + 3:base + 6]
+    ct_slots = [refs[base + 6 + 7 * k:base + 6 + 7 * (k + 1)]
+                for k in range(n_slots)]
+    out_refs = refs[base + 6 + 7 * n_slots:base + 6 + 7 * n_slots + 7]
+    save = refs[base + 6 + 7 * n_slots + 7]
 
-    marching = act_ref[:] > 0.5
+    status = st_ref[:]
+    t_end = te_ref[:]
+    ssteps = [ss_refs[k][:] for k in range(n_slots)]
+    died_moving = ((status == f32(STATUS_CAPTURED))
+                   | (status == f32(STATUS_HIT_OPAQUE)))
 
-    # ---------------- phase 1: forward replay with state saves ------------
-    state = _init_march_state(ox_ref[:], oy_ref[:], oz_ref[:],
-                              dx_ref[:], dy_ref[:], dz_ref[:],
-                              marching, n_slots=0)
-    body = _make_march_body(r_s, tabs, table_rows=table_rows, n_slots=0,
-                            max_steps=max_steps, max_angle=max_angle,
-                            u_f=u_f, with_exit=False)
+    def masks_at(i):
+        # Discrete decisions from the event planes (block comment above):
+        # captured/opaque lanes advance INTO their terminal hit (moved at
+        # t_end); escaped/flat-finished lanes keep their pre-step state.
+        i_f = i.astype(f32)
+        live_in = i_f <= t_end
+        moved = (i_f < t_end) | ((i_f == t_end) & died_moving)
+        return live_in, moved
 
-    # Replay terminates the moment every lane in the tile is done (dead
-    # steps are exactly the identity, so stopping is exact); ``last`` = the
-    # number of steps the tile actually executed.  The reverse sweep below
-    # starts there, skipping the dead tail entirely — the vjp of a dead
-    # step is the identity on every cotangent, and no hits happen after
-    # death so the slot injections there are zero too.
-    def fwd_cond(carry):
-        i, s = carry
-        return (i < max_steps) & jnp.any(s["live"] > 0.5)
-
-    def fwd_body(carry):
-        i, s = carry
-        for j, name in enumerate(_SAVED):
-            save[i, j] = s[name]
-        return i + 1, body(i, s)
-
-    last, state = jax.lax.while_loop(fwd_cond, fwd_body,
-                                     (jnp.int32(0), state))
-    # The sweep's step ``last - 1`` reads save[last] for its exit masks:
-    # store the frozen final state there.
-    for j, name in enumerate(_SAVED):
-        save[last, j] = state[name]
-
-    # ---------------- phase 2: reverse sweep ------------------------------
     diff_step = _make_diff_step(max_steps, max_angle, u_f)
     rs_plane = jnp.full(ox_ref.shape, r_s, f32)
     zero = jnp.zeros(ox_ref.shape, f32)
 
+    # Early tile exit, both phases: ``last`` = steps the tile executed
+    # forward = one past the last step any lane was live at entry.
+    last = jnp.minimum(jnp.int32(max_steps),
+                       jnp.max(t_end).astype(jnp.int32) + 1)
+
+    # ---------------- phase 1: core-only replay with state saves ----------
+    core0 = _init_core(ox_ref[:], oy_ref[:], oz_ref[:],
+                       dx_ref[:], dy_ref[:], dz_ref[:])
+
+    def fwd_body(i, core):
+        for j in range(len(_CORE)):
+            save[i, j] = core[j]
+        new_core, _ = diff_step(i, core, masks_at(i), rs_plane)
+        return new_core
+
+    jax.lax.fori_loop(0, last, fwd_body, core0)
+
+    # ---------------- phase 2: reverse sweep ------------------------------
     # Adjoint init from the final-output cotangents (_final_outputs: fdir =
     # final dx.., fpos = final px..; status/nhits are non-differentiable).
     ct0 = [ct_fp[0][:], ct_fp[1][:], ct_fp[2][:],
@@ -783,59 +839,25 @@ def _scene_march_bwd_kernel(rs_ref, *refs, n_slots, max_steps, max_angle,
         ct = carry[:15]
         g_rs = carry[15]
 
-        s_in = [save[i, j] for j in range(len(_SAVED))]
-        core_in = tuple(s_in[:15])
-        live_in = s_in[15] > 0.5
-        st_in = s_in[16]
-        nh_in = s_in[17]
-        live_out = save[i + 1, 15] > 0.5
-        st_out = save[i + 1, 16]
-        nh_out = save[i + 1, 17]
+        core_in = tuple(save[i, j] for j in range(len(_CORE)))
+        i_f = i.astype(f32)
 
-        # Discrete decisions, replayed (no scene tables needed).
-        any_hit = nh_out > nh_in
-        captured = (st_out == f32(STATUS_CAPTURED)) & (st_in != f32(STATUS_CAPTURED))
-        opq = (st_out == f32(STATUS_HIT_OPAQUE)) & (st_in != f32(STATUS_HIT_OPAQUE))
-        moved = live_out | captured | opq
-        # reinit: ff & big_ok & ~radial — recomputed exactly as the body did.
-        u_in = s_in[12]
-        ff = live_in & (u_in < u_f)
-        d_oc = _dot3(s_in[3], s_in[4], s_in[5], s_in[0], s_in[1], s_in[2])
-        oc2 = _dot3(s_in[0], s_in[1], s_in[2], s_in[0], s_in[1], s_in[2])
-        radius = 1.0 / u_f
-        disc = d_oc * d_oc - oc2 + radius * radius
-        sq = jnp.sqrt(jnp.maximum(disc, 1e-20))
-        lam1 = -d_oc - sq
-        lam2 = -d_oc + sq
-        big_lam = jnp.where((lam1 > 0) & (lam2 > 0), jnp.minimum(lam1, lam2),
-                            jnp.where(lam1 > 0, lam1,
-                                      jnp.where(lam2 > 0, lam2, -1.0)))
-        big_ok = (disc >= 0.0) & (big_lam >= 0.0)
-        hx = s_in[0] + big_lam * s_in[3]
-        hy = s_in[1] + big_lam * s_in[4]
-        hz = s_in[2] + big_lam * s_in[5]
-        inv_h = _rnorm(hx, hy, hz)
-        nd = _dot3(hx * inv_h, hy * inv_h, hz * inv_h,
-                   s_in[3], s_in[4], s_in[5])
-        radial = jnp.abs(nd) >= 1.0 - _EPS
-        reinit = ff & big_ok & ~radial
-        masks = (reinit, moved)
-
-        # Slot cotangents recorded at THIS step (take_k = any_hit & nh == k).
+        # Slot cotangents recorded at THIS step (take_k = sstep_k == i).
         ct_slot = []
         for j in range(7):
             acc = zero
             for k in range(n_slots):
-                take_k = any_hit & (nh_in == f32(k))
-                acc = acc + jnp.where(take_k, ct_slots[k][j][:], 0.0)
+                acc = acc + jnp.where(ssteps[k] == i_f,
+                                      ct_slots[k][j][:], 0.0)
             ct_slot.append(acc)
 
+        masks = masks_at(i)
         _, vjp = jax.vjp(
             lambda core, rp: diff_step(i, core, masks, rp), core_in, rs_plane)
         ct_core, ct_rs = vjp((tuple(ct), tuple(ct_slot)))
         return tuple(ct_core) + (g_rs + ct_rs,)
 
-    # Early tile exit, reverse side: iterate only the steps the tile
+    # Reverse side of the early tile exit: iterate only the steps the tile
     # actually executed (i in [0, last)) via a dynamic lower bound — a tile
     # that died at step s skips max_steps - s vjp steps with ZERO per-step
     # cond cost, and a tile that never marched skips the whole sweep.
@@ -851,25 +873,37 @@ def _scene_march_bwd_kernel(rs_ref, *refs, n_slots, max_steps, max_angle,
         ref[:] = val
 
 
-def march_scene_bwd(origin, direction, active, r_s, sc: Scene,
-                    cfg: RenderConfig, cotangents, n_slots: int = 4,
-                    block_h: int = 8, block_w: int = 128,
-                    interpret: bool = False, test_ray=None, tex=None):
+def march_scene_bwd(origin, direction, r_s, cfg: RenderConfig, cotangents,
+                    status, events, n_slots: int = 4,
+                    block_h: int = None, block_w: int = 128,
+                    interpret: bool = False):
     """Pallas adjoint of :func:`march_scene` w.r.t. (origin, direction, r_s)
     at fixed discrete decisions.  ``cotangents`` = (ct_fdir, ct_fpos,
-    ct_slots) with ct_slots a list of K (ct_start, ct_dir, ct_len).
-    Returns (g_origin, g_direction, g_r_s scalar)."""
-    H, W = active.shape
+    ct_slots) with ct_slots a list of K (ct_start, ct_dir, ct_len);
+    ``status`` and ``events`` (the dict from ``march_scene(events=True)``)
+    carry the forward run's discrete decisions, so no scene is needed.
+    Returns (g_origin, g_direction, g_r_s scalar).
+
+    ``block_h=None``: 16 when the save scratch (max_steps x 15 planes) fits
+    ~13 MB of the ~16 MB VMEM (measured faster at 512^2/100 steps: 16.2 vs
+    17.3 ms full grad), else 8."""
+    if block_h is None:
+        scratch = cfg.max_steps * len(_CORE) * 16 * block_w * 4
+        block_h = 16 if scratch <= 13_000_000 else 8
+    H, W = status.shape
     pad_h = (-H) % block_h
     pad_w = (-W) % block_w
 
-    def pad(x):
-        return jnp.pad(x, ((0, pad_h), (0, pad_w)))
+    def pad(x, fill=0.0):
+        return jnp.pad(x, ((0, pad_h), (0, pad_w)), constant_values=fill)
 
     ct_fdir, ct_fpos, ct_slots = cotangents
     comps = [pad(origin[..., i]) for i in range(3)]
     comps += [pad(direction[..., i]) for i in range(3)]
-    comps += [pad(active.astype(jnp.float32))]
+    # Padding lanes: status ESCAPED + t_end -1 -> never live, zero masks.
+    comps += [pad(status, fill=STATUS_ESCAPED), pad(events["t_end"],
+                                                    fill=-1.0)]
+    comps += [pad(events["ssteps"][k], fill=-1.0) for k in range(n_slots)]
     comps += [pad(ct_fdir[..., i]) for i in range(3)]
     comps += [pad(ct_fpos[..., i]) for i in range(3)]
     for cs, cd, cl in ct_slots:
@@ -878,10 +912,6 @@ def march_scene_bwd(origin, direction, active, r_s, sc: Scene,
         comps += [pad(cl)]
     ph, pw = comps[0].shape
 
-    tables = _pack_scene_smem(sc, test_ray=test_ray, r_s=r_s, tex=tex)
-    table_names = tuple(sorted(tables))
-    table_rows = {k: int(tables[k].shape[0]) for k in table_names}
-
     grid = (ph // block_h, pw // block_w)
     tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),
                         memory_space=pltpu.VMEM)
@@ -889,21 +919,19 @@ def march_scene_bwd(origin, direction, active, r_s, sc: Scene,
     kernel = functools.partial(
         _scene_march_bwd_kernel,
         n_slots=n_slots, max_steps=cfg.max_steps,
-        max_angle=float(cfg.max_angle), u_f=float(cfg.u_f),
-        table_names=table_names, table_rows=table_rows)
-    n_in = 13 + 7 * n_slots
+        max_angle=float(cfg.max_angle), u_f=float(cfg.u_f))
+    n_in = 14 + n_slots + 7 * n_slots
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[scalar] * (1 + len(table_names)) + [tile] * n_in,
+        in_specs=[scalar] + [tile] * n_in,
         out_specs=[tile] * 7,
         out_shape=[jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 7,
         scratch_shapes=[
-            pltpu.VMEM((cfg.max_steps + 1, len(_SAVED), block_h, block_w),
+            pltpu.VMEM((cfg.max_steps, len(_CORE), block_h, block_w),
                        jnp.float32)],
         interpret=interpret,
-    )(jnp.asarray(r_s, jnp.float32).reshape(1, 1),
-      *[tables[k] for k in table_names], *comps)
+    )(jnp.asarray(r_s, jnp.float32).reshape(1, 1), *comps)
 
     def crop(x):
         return x[:H, :W]
@@ -915,11 +943,13 @@ def march_scene_bwd(origin, direction, active, r_s, sc: Scene,
 
 
 def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
-                        max_steps, max_angle, u_f, count_steps=False):
+                        max_steps, max_angle, u_f, count_steps=False,
+                        events=False):
     """refs order: [tables...] + [ox..dz, act] + outputs
     [fdx,fdy,fdz,fpx,fpy,fpz,status,nhits] + per-slot
-    [px,py,pz,dx,dy,dz,len]*K (+ executed-steps plane when
-    ``count_steps`` — see kernel._march_kernel)."""
+    [px,py,pz,dx,dy,dz,len]*K (+ [t_end, sstep_0..K-1] when ``events``)
+    (+ executed-steps plane when ``count_steps`` — see
+    kernel._march_kernel)."""
     r_s = rs_ref[0, 0]
 
     n_tab = len(table_names)
@@ -929,10 +959,11 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
 
     state = _init_march_state(ox_ref[:], oy_ref[:], oz_ref[:],
                               dx_ref[:], dy_ref[:], dz_ref[:],
-                              act_ref[:] > 0.5, n_slots)
+                              act_ref[:] > 0.5, n_slots,
+                              events=events, max_steps=max_steps)
     body = _make_march_body(r_s, tabs, table_rows=table_rows, n_slots=n_slots,
                             max_steps=max_steps, max_angle=max_angle,
-                            u_f=u_f, with_exit=False)
+                            u_f=u_f, with_exit=False, events=events)
 
     # Death-terminating march: the loop CONDITION fuses the step bound with
     # the any-live check, so a tile stops paying the moment its last lane
@@ -951,7 +982,7 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
 
     n_exec, state = jax.lax.while_loop(march_cond, march_step,
                                        (jnp.int32(0), state))
-    vals = _final_outputs(state, n_slots)
+    vals = _final_outputs(state, n_slots, events=events)
     if count_steps:
         vals = vals + (jnp.full(ox_ref.shape, n_exec.astype(jnp.float32)),)
     for ref, val in zip(out_refs, vals):
@@ -961,13 +992,18 @@ def _scene_march_kernel(rs_ref, *refs, table_names, table_rows, n_slots,
 def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
                 n_slots: int = 4, block_h: int = 16, block_w: int = 128,
                 interpret: bool = False, mesh=None, compact: bool = False,
-                test_ray=None, tex=None, count_steps: bool = False):
+                test_ray=None, tex=None, count_steps: bool = False,
+                events: bool = False):
     """Pallas scene march.  Returns (final_dir, final_pos, status, slots,
     nhits) where slots is a list of K (start (H,W,3), dir (H,W,3), length
     (H,W)) and nhits (H,W) counts ALL segment hits along each ray — uncapped,
     so ``nhits > n_slots`` flags rays whose extra hits were dropped.
     ``count_steps=True`` appends a scalar: total EXECUTED lane-steps
     (sum over tiles of loop iterations x lanes — see kernel.march_bh).
+    ``events=True`` appends an events dict {"t_end": (H,W), "ssteps":
+    [(H,W)]*K} — the residuals of the scene-free adjoint kernel
+    (march_scene_bwd): the step index of each lane's terminal event and of
+    each slot recording.
 
     ``mesh``: shard the march over image tiles via shard_map (scene tables
     and r_s replicated; every device launches the kernel on its local tile).
@@ -981,6 +1017,9 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
     if count_steps and (mesh is not None or compact):
         raise ValueError("count_steps: single-device, non-compact marches "
                          "only (it is a benchmark accounting hook)")
+    if events and (mesh is not None or compact):
+        raise ValueError("events: single-device, non-compact marches only "
+                         "(under a mesh the replay backward is used)")
     if mesh is not None:
         from .sharding import shard_march
 
@@ -1030,8 +1069,10 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
         max_angle=float(cfg.max_angle),
         u_f=float(cfg.u_f),
         count_steps=count_steps,
+        events=events,
     )
-    n_out = 8 + 7 * n_slots + (1 if count_steps else 0)
+    n_ev = (1 + n_slots) if events else 0
+    n_out = 8 + 7 * n_slots + n_ev + (1 if count_steps else 0)
     out_shape = [jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * n_out
     outs = pl.pallas_call(
         kernel,
@@ -1057,15 +1098,21 @@ def march_scene(origin, direction, active, r_s, sc: Scene, cfg: RenderConfig,
         sdir = jnp.stack([crop(outs[b + 3]), crop(outs[b + 4]), crop(outs[b + 5])], -1)
         slen = crop(outs[b + 6])
         slots.append((start, sdir, slen))
+    ret = (fdir, fpos, status, slots, nhits)
+    if events:
+        e = 8 + 7 * n_slots
+        ret = ret + (dict(t_end=crop(outs[e]),
+                          ssteps=[crop(outs[e + 1 + k])
+                                  for k in range(n_slots)]),)
     if count_steps:
-        return fdir, fpos, status, slots, nhits, jnp.sum(outs[-1])
-    return fdir, fpos, status, slots, nhits
+        ret = ret + (jnp.sum(outs[-1]),)
+    return ret
 
 
 def march_scene_jnp(origin, direction, active, r_s, sc: Scene,
                     cfg: RenderConfig, n_slots: int = 4,
                     checkpoint_every: Optional[int] = None, test_ray=None,
-                    tex=None):
+                    tex=None, events: bool = False):
     """Dense-jnp twin of the Pallas scene march — IDENTICAL math, identical
     outputs (validity-only intersections, no shading/texturing).
 
@@ -1089,11 +1136,11 @@ def march_scene_jnp(origin, direction, active, r_s, sc: Scene,
     state = _init_march_state(
         origin[..., 0], origin[..., 1], origin[..., 2],
         direction[..., 0], direction[..., 1], direction[..., 2],
-        active, n_slots)
+        active, n_slots, events=events, max_steps=cfg.max_steps)
     body = _make_march_body(
         jnp.asarray(r_s, f32), tables, table_rows=table_rows, n_slots=n_slots,
         max_steps=cfg.max_steps, max_angle=float(cfg.max_angle),
-        u_f=float(cfg.u_f))
+        u_f=float(cfg.u_f), events=events)
 
     steps = jnp.arange(cfg.max_steps, dtype=jnp.int32)
 
@@ -1115,7 +1162,7 @@ def march_scene_jnp(origin, direction, active, r_s, sc: Scene,
     else:
         state, _ = jax.lax.scan(step_fn, state, steps)
 
-    outs = _final_outputs(state, n_slots)
+    outs = _final_outputs(state, n_slots, events=events)
     fdir = jnp.stack(outs[0:3], -1)
     fpos = jnp.stack(outs[3:6], -1)
     status, nhits = outs[6], outs[7]
@@ -1124,6 +1171,10 @@ def march_scene_jnp(origin, direction, active, r_s, sc: Scene,
         b = 8 + k * 7
         slots.append((jnp.stack(outs[b:b + 3], -1),
                       jnp.stack(outs[b + 3:b + 6], -1), outs[b + 6]))
+    if events:
+        e = 8 + 7 * n_slots
+        return fdir, fpos, status, slots, nhits, dict(
+            t_end=outs[e], ssteps=list(outs[e + 1:e + 1 + n_slots]))
     return fdir, fpos, status, slots, nhits
 
 
@@ -1153,6 +1204,17 @@ def march_scene_diff(origin, direction, active, r_s, sc: Scene,
     # mesh the replay path (SPMD-partitionable scan) is used instead.
     use_pallas_bwd = backward == "pallas" and mesh is None
 
+    # TRACED texels (inverse rendering optimizing the texture, config 5):
+    # the march only reads ``tex`` for the in-kernel opaque-stop flags,
+    # which are unprovable from traced data anyway (_opaque_flags returns
+    # None) — and keeping the traced stack in the custom_vjp closures leaks
+    # a linearize-level tracer out of the AD scope (UnexpectedTracerError).
+    # Drop it: identical march semantics, legal closures.
+    import jax.core as _core
+
+    if tex is not None and isinstance(tex.data, _core.Tracer):
+        tex = None
+
     @jax.custom_vjp
     def f(origin, direction, r_s):
         return march_scene(origin, direction, active, r_s, sc, cfg,
@@ -1160,16 +1222,26 @@ def march_scene_diff(origin, direction, active, r_s, sc: Scene,
                            compact=compact, test_ray=test_ray, tex=tex)
 
     def fwd(origin, direction, r_s):
-        return f(origin, direction, r_s), (origin, direction, r_s)
+        if use_pallas_bwd:
+            # The forward ALSO records the per-lane event planes (terminal
+            # step, slot-record steps) that let the backward kernel replay
+            # every discrete decision scene-free.
+            fdir, fpos, status, slots, nhits, ev = march_scene(
+                origin, direction, active, r_s, sc, cfg, n_slots=n_slots,
+                interpret=interpret, test_ray=test_ray, tex=tex, events=True)
+            return ((fdir, fpos, status, slots, nhits),
+                    (origin, direction, r_s, status, ev))
+        return f(origin, direction, r_s), (origin, direction, r_s, None,
+                                           None)
 
     def bwd(residuals, cotangent):
-        origin, direction, r_s = residuals
+        origin, direction, r_s, status, ev = residuals
         if use_pallas_bwd:
             ct_fdir, ct_fpos, _ct_status, ct_slots, _ct_nhits = cotangent
             return march_scene_bwd(
-                origin, direction, active, r_s, sc, cfg,
-                (ct_fdir, ct_fpos, ct_slots), n_slots=n_slots,
-                interpret=interpret, test_ray=test_ray, tex=tex)
+                origin, direction, r_s, cfg,
+                (ct_fdir, ct_fpos, ct_slots), status, ev, n_slots=n_slots,
+                interpret=interpret)
 
         def g(origin, direction, r_s):
             return march_scene_jnp(origin, direction, active, r_s, sc, cfg,

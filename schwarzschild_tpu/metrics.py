@@ -50,7 +50,14 @@ class MetricsLogger:
 
 
 class FrameTimer:
-    """Context manager measuring one frame; logs rays/s and RK4 steps."""
+    """Context manager measuring one frame; logs rays/s and RK4 steps.
+
+    ``rk4_steps_nominal`` counts the reference's 100-step budget
+    (frag:914-915), NOT steps executed — the death-terminating kernels stop
+    early (see docs/tpu_cost_model.md section 8; honest executed-step
+    throughput lives in bench.py's ``executed_steps_per_s``).  Extra fields
+    (e.g. host_fetch_ms, device_ms_est) ride via :meth:`add_fields`.
+    """
 
     def __init__(self, logger: MetricsLogger, frame: int, n_rays: int,
                  max_steps: int):
@@ -58,6 +65,10 @@ class FrameTimer:
         self._frame = frame
         self._n_rays = n_rays
         self._max_steps = max_steps
+        self._extra = {}
+
+    def add_fields(self, **fields):
+        self._extra.update(fields)
 
     def __enter__(self):
         self._t0 = time.perf_counter()
@@ -70,7 +81,8 @@ class FrameTimer:
             frame=self._frame,
             seconds=dt,
             rays_per_s=self._n_rays / dt,
-            rk4_steps=self._n_rays * self._max_steps,
-            steps_per_s=self._n_rays * self._max_steps / dt,
+            rk4_steps_nominal=self._n_rays * self._max_steps,
+            nominal_steps_per_s=self._n_rays * self._max_steps / dt,
+            **self._extra,
         )
         return False

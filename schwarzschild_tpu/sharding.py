@@ -127,26 +127,41 @@ def make_sharded_render(mesh: Mesh, cfg: RenderConfig, renderer: str = "jnp",
         the march wrapped in shard_map (each device launches the kernel on its
         local tile) and the slot shading partitioned by SPMD.
 
-    The scene/camera/textures arrive replicated.  ``cfg.height`` must divide
-    by the row-axis size (and width by the column axis) so tiles are equal.
+    The scene/camera/textures arrive replicated.  Image dimensions need NOT
+    divide the mesh: the jnp path shards non-divisible dims natively (GSPMD
+    pads internally) and the fast path pads the precomputed per-pixel planes
+    up to the next multiple and crops the output (padded lanes carry rnd=0
+    and inert rays; their pixels are discarded) — VERDICT r4 item 7b.
     ``interpret`` runs the Pallas kernel in interpreter mode (CPU testing).
     """
     rows = mesh.shape[mesh.axis_names[0]]
     cols = mesh.shape[mesh.axis_names[1]] if len(mesh.axis_names) > 1 else 1
-    if cfg.height % rows or cfg.width % cols:
-        raise ValueError(
-            f"image {cfg.height}x{cfg.width} not divisible by mesh {rows}x{cols}")
+    # Fast path: pad planes to tile-divisible sizes, crop after.
+    pad_h = (-cfg.height) % rows
+    pad_w = (-cfg.width) % cols
 
     out_sh = image_sharding(mesh)
     rep = replicated(mesh)
 
     if renderer == "jnp":
         def _render(sc, cam, background, tex, r_s):
-            return render(sc, cam, cfg, background, tex, r_s)
+            img = render(sc, cam, cfg, background, tex, r_s)
+            if pad_h or pad_w:
+                # out_shardings needs divisible dims: ship the image padded
+                # (black rows/cols), crop in the wrapper below.
+                import jax.numpy as jnp
+
+                img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)))
+            return img
     elif renderer == "fast" and cfg.texture_filter == "trilinear":
         # Trilinear LOD takes screen-space derivatives (cross-tile
         # neighbors): march rides shard_map, shading stays under the SPMD
         # partitioner, which handles the rolls with collective permutes.
+        # This legacy path has no pad-and-crop: shard_map needs equal tiles.
+        if pad_h or pad_w:
+            raise ValueError(
+                f"trilinear fast path: image {cfg.height}x{cfg.width} must "
+                f"divide mesh {rows}x{cols}")
         from .kernel_scene import render_fast
 
         def _render(sc, cam, background, tex, r_s):
@@ -176,15 +191,34 @@ def make_sharded_render(mesh: Mesh, cfg: RenderConfig, renderer: str = "jnp",
                                  rnd=rnd), atlas=atlas)
 
         def _render(sc, cam, background, tex, r_s, atlas):
+            import jax.numpy as jnp
+
             u, v = cam_mod.pixel_grid(cfg.width, cfg.height)
             o, d = cam_mod.generate_rays(cam, u, v, cfg.width, cfg.height)
             rnd = noise_field(cfg, u, v)
+            if pad_h or pad_w:
+                # Grid quantities are computed on the ORIGINAL H x W grid
+                # (noise hashes and crosshair math stay bit-identical to the
+                # unsharded render), then padded to mesh-divisible shapes.
+                # Padded lanes get rnd = 0: with noise on they are skipped;
+                # with noise off they march inert unit-x rays (the safe_*
+                # guards keep zero-origin rays finite) — either way their
+                # pixels are cropped below.
+                widths2 = ((0, pad_h), (0, pad_w))
+                d0 = jnp.pad(d[..., 0], widths2, constant_values=1.0)
+                o = jnp.pad(o, widths2 + ((0, 0),))
+                d = jnp.pad(d, widths2 + ((0, 0),)).at[..., 0].set(d0)
+                u = jnp.pad(u, widths2)
+                v = jnp.pad(v, widths2)
+                rnd = jnp.pad(rnd, widths2)
             inner = jax.shard_map(
                 _core, mesh=mesh,
                 in_specs=(p3, p3, p2, p2, p2, P(), P(), P(), P(), P()),
                 out_specs=p3,
                 check_vma=False,
             )
+            # Padded rows/cols stay in the jit output (out_shardings needs
+            # divisible dims); the wrapper crops.
             return inner(o, d, u, v, rnd, sc, background, tex, r_s, atlas)
     else:
         raise ValueError(f"unknown renderer {renderer!r}")
@@ -206,7 +240,10 @@ def make_sharded_render(mesh: Mesh, cfg: RenderConfig, renderer: str = "jnp",
             from .textures import build_atlas_cached
 
             args += (build_atlas_cached(background, tex),)
-        return fn(*args)
+        img = fn(*args)
+        if pad_h or pad_w:
+            img = img[:cfg.height, :cfg.width]
+        return img
 
     return sharded_render
 

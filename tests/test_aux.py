@@ -16,11 +16,12 @@ def test_metrics_logger_jsonl(tmp_path):
     path = tmp_path / "m.jsonl"
     log = MetricsLogger(path)
     log.log("frame", frame=0, seconds=0.5)
-    with FrameTimer(log, frame=1, n_rays=100, max_steps=10):
-        pass
+    with FrameTimer(log, frame=1, n_rays=100, max_steps=10) as ft:
+        ft.add_fields(host_fetch_ms=1.5)
     lines = [json.loads(l) for l in path.read_text().splitlines()]
     assert lines[0]["event"] == "frame" and lines[0]["frame"] == 0
-    assert lines[1]["rk4_steps"] == 1000
+    assert lines[1]["rk4_steps_nominal"] == 1000
+    assert lines[1]["host_fetch_ms"] == 1.5
     log.to_csv(tmp_path / "m.csv")
     assert (tmp_path / "m.csv").read_text().count("\n") >= 3
 

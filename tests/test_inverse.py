@@ -80,6 +80,50 @@ def test_recover_disk_texture_gradient_flows():
     assert losses[-1] < losses[0]
 
 
+def test_fast_renderer_texel_gradients_flow():
+    """Config-5 requirement on the PRODUCTION path: disk-texel gradients
+    through render_fast(differentiable=True) — Pallas forward, scene-free
+    Pallas adjoint, traced-atlas compose.  Pins the r5 fix for the
+    custom_vjp closure leak (a traced texture stack captured in the march's
+    bwd closure raised UnexpectedTracerError)."""
+    from schwarzschild_tpu.kernel_scene import render_fast
+
+    sc, cam, bg, tex = _setup()
+
+    def loss(layer):
+        tex_p = tex._replace(data=tex.data.at[0].set(layer))
+        img = render_fast(sc, cam, CFG, bg, tex_p, 1.0, overflow="ignore",
+                          differentiable=True, interpret=True)
+        return jnp.mean(img)
+
+    g = jax.jit(jax.grad(loss))(jnp.full_like(tex.data[0], 0.5))
+    gd = np.asarray(g)
+    assert np.isfinite(gd).all()
+    assert (gd != 0).any()
+
+
+def test_multiview_loss_breaks_scale_gauge_mechanics():
+    """make_multiview_loss: one loss over 2 views with a known camera
+    baseline; gradients flow to every parameter (r_s, pose, texels)."""
+    sc, cam, bg, tex = _setup()
+    offs = [(0.0, 0.0, 0.0), (2.0, 0.0, -1.0)]
+    targets = []
+    for off in offs:
+        cam_i = cam._replace(pos=jnp.asarray(cam.pos, jnp.float32)
+                             + jnp.asarray(off, jnp.float32))
+        targets.append(st.render(sc, cam_i, CFG, bg, tex, r_s=1.0))
+    loss_fn = inverse.make_multiview_loss(sc, CFG, bg, tex, 0, targets,
+                                          offs, renderer="jnp")
+    p0 = inverse.init_params(cam, 0.8, tex, disk_slot=0)
+    p0 = p0._replace(disk_texture=p0.disk_texture * 0.6)
+    val, g = jax.value_and_grad(loss_fn)(p0)
+    assert np.isfinite(float(val))
+    for name in ("r_s_raw", "cam_pos", "cam_fwd_raw", "disk_texture"):
+        leaf = np.asarray(getattr(g, name))
+        assert np.isfinite(leaf).all(), name
+        assert (leaf != 0).any(), name
+
+
 def test_checkpoint_resume(tmp_path):
     sc, cam, bg, tex = _setup()
     target = st.render(sc, cam, CFG, bg, tex, r_s=1.0)

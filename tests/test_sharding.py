@@ -129,11 +129,29 @@ def test_sharded_march_bh_matches():
     np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
 
 
-def test_mesh_divisibility_validation():
+def test_non_divisible_mesh_pad_and_crop():
+    """Non-divisible image/mesh shapes render correctly (VERDICT r4 item 7):
+    the jnp path shards unevenly via GSPMD; the fast path pads the
+    per-pixel planes to tile-divisible shapes and crops the output."""
+    from schwarzschild_tpu.kernel_scene import render_fast
+
+    sc, cam, bg, tex = _setup()
+    odd = st.RenderConfig(width=32, height=30, percent_black=0.75,
+                          noise_mode="hash", checkpoint_every=10)
     mesh = make_mesh(shape=(8, 1))
-    bad = st.RenderConfig(width=32, height=30)
-    with pytest.raises(ValueError):
-        make_sharded_render(mesh, bad)
+
+    single = np.asarray(jax.jit(st.render, static_argnames="cfg")(
+        sc, cam, odd, bg, tex))
+    img = make_sharded_render(mesh, odd)(sc, cam, bg, tex)
+    np.testing.assert_array_equal(gather_image(img), single)
+
+    single_f = np.asarray(render_fast(sc, cam, odd, bg, tex, 1.0,
+                                      interpret=True, overflow="ignore"))
+    img_f = make_sharded_render(mesh, odd, renderer="fast",
+                                interpret=True)(sc, cam, bg, tex)
+    out = gather_image(img_f)
+    assert out.shape == single_f.shape == (30, 32, 4)
+    np.testing.assert_allclose(out, single_f, atol=5e-5)
 
 
 def test_frame_range_partition():
