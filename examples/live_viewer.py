@@ -1,259 +1,186 @@
-"""Live interactive viewer — the reference's free-running draw loop
-(/root/reference/src/main.cpp:303-435) driven by the TPU fast path.
-
-The reference is an interactive OpenGL app: WASD/EQ movement, mouse look,
-mode keys 1-4, split drag, key-H flyby (src/lib/Input/input.cpp:17-53).
-This driver proves the framework's 100+ FPS tile-coherent path
-(BENCH: interactive_720p_tile_fps) drives an actual interactive session:
-keyboard -> Camera update -> render_fast -> terminal blit (ANSI half-block
-cells, 24-bit color), in a loop whose budget is set by the render, not the
+"""Live interactive viewer: fly the camera around the black hole in a
 terminal.
 
-Controls (reference parity, main.cpp:325-421 — mouse-look becomes keys):
-  w/s/a/d/e/q  move forward/back/left/right/up/down
-  i/k/j/l      look up/down/left/right   (mouse-look, utils.cpp rotateVector)
-  1/2/3/4      raytrace mode: curved / flat / half-width / half-height
-  [ / ]        split position (ALT-drag analog)
-  f            reset fov; + / - zoom (scroll analog)
-  c            crosshair toggle;  h  hyperbolic flyby;  x  quit
+The TPU-native answer to the reference's interactive window
+(/root/reference/src/main.cpp:303-435 draw loop + src/lib/Input/input.cpp
+WASD/mouse): keyboard events update a Camera PyTree, every frame runs the
+Pallas fast path (the same kernel the 720p tile-coherent benchmark clocks
+at 136 FPS on a v5e), and the frame is blitted to the terminal as ANSI
+truecolor half-blocks.  On a TPU the render is a small fraction of the
+frame budget even at large terminal sizes; the blit itself (host-side
+string building + tty write) is the practical cap.
 
-Run (interactive):   python examples/live_viewer.py
-Scripted (receipt):  python examples/live_viewer.py --script "wwdd4h...x" \
-                        --out LIVE_r05.json
-The scripted mode feeds the same key handler once per frame and records
-per-frame wall latency — the artifact that settles VERDICT r4 item 6.
+    python examples/live_viewer.py                  # demo scene, 192x96
+    python examples/live_viewer.py --width 256 --height 128 --config 3
+    python examples/live_viewer.py --selftest       # no TTY: scripted keys
+
+Keys: wasd/zx move, arrows look, +/- zoom, 1-4 render mode (main.cpp
+keys 1-4), h hyperbolic flyby (key H), r test-ray tubes (key R), q quit.
 """
-
 import argparse
-import dataclasses
-import json
-import math
-import pathlib
 import select
 import sys
 import time
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+
 import schwarzschild_tpu as st
-from schwarzschild_tpu import camera as cam_mod
-from schwarzschild_tpu import configs
-from schwarzschild_tpu.geometry import rotate_vector
-
-MOVE_SPEED = 0.5          # units per frame (main.cpp:27 CAMERA_SPEED analog)
-LOOK_SPEED = 0.05         # radians per key (MOUSE_SENSITIVITY analog)
-FOV_STEP = 5.0            # degrees per +/- (scroll analog, main.cpp:34-38)
+from schwarzschild_tpu import configs, viewer
+from schwarzschild_tpu.compile_cache import enable_persistent_cache
+from schwarzschild_tpu.features import calculate_test_ray
+from schwarzschild_tpu.kernel_scene import render_fast
 
 
-class Viewer:
-    def __init__(self, cfg, sc, bg, tex, cam, r_s=1.0, interpret=False):
-        from schwarzschild_tpu.kernel_scene import render_fast
-        from schwarzschild_tpu.textures import build_atlas_cached
+def make_renderer(conf, width, height, interpret):
+    """One jitted frame function per (raytrace mode, test-ray on/off)
+    combination, compiled lazily and cached — mode keys swap compiled
+    programs exactly like the reference's uniform updates swap shader
+    behavior.  The test-ray polyline is a jit ARGUMENT (fixed-capacity
+    PyTree), so re-snapshotting it from a new camera (key R, main.cpp:94-124
+    recomputes on each press) does not recompile."""
+    sc, bg, tex = conf["scene"], conf["background"], conf["tex"]
+    from schwarzschild_tpu.textures import build_atlas_cached
 
-        self.cfg = cfg
-        self.cam = cam
-        self.mode = cam_mod.CURVED
-        self.split = 0.5
-        self.crosshair = False
-        self.flying = None  # (t0, duration) while key-H flyby runs
-        self.quit = False
-        atlas = build_atlas_cached(bg, tex)
+    atlas = build_atlas_cached(bg, tex)
+    cache = {}
+    tray_holder = {"tray": None, "on": False}
 
-        def _frame(cam, r_s, atlas, cfg):
-            img = render_fast(sc, cam, cfg, bg, tex, r_s,
-                              overflow="ignore", interpret=interpret,
-                              atlas=atlas)
-            # Device-side downsample to terminal cells + uint8: the host
-            # fetch is a few KB instead of the full frame (the tunnel RTT
-            # would otherwise dominate the loop).
-            th, tw = self.term_h * 2, self.term_w
-            H, W = cfg.height, cfg.width
-            img = img[: H // th * th, : W // tw * tw, :3]
-            img = img.reshape(th, H // th, tw, W // tw, 3).mean((1, 3))
-            return jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8)
+    def frame(state: viewer.ViewerState) -> np.ndarray:
+        if state.test_ray and not tray_holder["on"]:
+            # Snapshot the geodesic from the CURRENT camera at toggle time.
+            tray_holder["tray"] = calculate_test_ray(state.cam)
+        tray_holder["on"] = state.test_ray
+        key = (state.raytrace_type, state.test_ray)
+        if key not in cache:
+            cfg = st.RenderConfig(width=width, height=height,
+                                  percent_black=-1.0,
+                                  raytrace_type=state.raytrace_type,
+                                  crosshair=True)
+            from schwarzschild_tpu.render import to_uint8
 
-        self._frame = jax.jit(_frame, static_argnames="cfg")
-        self._atlas = atlas
-        self._r_s = jnp.float32(r_s)
-        try:
-            import shutil as _sh
+            # Quantize to uint8 ON DEVICE: the host fetch moves 3 bytes per
+            # terminal pixel (a 192x96 frame is 55 KB, not 295 KB) — the
+            # same trick animation.render_trajectory uses for PNG frames.
+            if state.test_ray:
+                def f(cam, a, tr):
+                    return to_uint8(render_fast(
+                        sc, cam, cfg, bg, tex, 1.0, overflow="ignore",
+                        interpret=interpret, test_ray=tr, atlas=a))
+            else:
+                def f(cam, a):
+                    return to_uint8(render_fast(
+                        sc, cam, cfg, bg, tex, 1.0, overflow="ignore",
+                        interpret=interpret, atlas=a))
+            cache[key] = jax.jit(f)
+        if state.test_ray:
+            return np.asarray(cache[key](state.cam, atlas,
+                                         tray_holder["tray"]))
+        return np.asarray(cache[key](state.cam, atlas))
 
-            ts = _sh.get_terminal_size()
-            self.term_w, self.term_h = min(ts.columns, 160), \
-                min(ts.lines - 2, 45)
-        except Exception:
-            self.term_w, self.term_h = 96, 27
-
-    def handle(self, key):
-        c = self.cam
-        if key == "x":
-            self.quit = True
-        elif key in "wsadeq":
-            d = {"w": c.forward, "s": -c.forward, "d": c.right,
-                 "a": -c.right, "e": c.up, "q": -c.up}[key]
-            self.cam = c._replace(pos=c.pos + MOVE_SPEED * jnp.asarray(d))
-        elif key in "jl":  # yaw about world up (main.cpp:341-349)
-            ang = LOOK_SPEED if key == "j" else -LOOK_SPEED
-            axes = jnp.stack([rotate_vector(ang, c.axes[:, i])
-                              for i in range(3)], axis=-1)
-            self.cam = c._replace(axes=axes)
-        elif key in "ik":  # pitch about camera right
-            ang = LOOK_SPEED if key == "i" else -LOOK_SPEED
-            axes = jnp.stack([rotate_vector(ang, c.axes[:, i],
-                                            axis=c.right)
-                              for i in range(3)], axis=-1)
-            self.cam = c._replace(axes=axes)
-        elif key in "1234":  # mode keys (main.cpp:412-418)
-            self.mode = {"1": cam_mod.CURVED, "2": cam_mod.FLAT,
-                         "3": cam_mod.HALF_WIDTH,
-                         "4": cam_mod.HALF_HEIGHT}[key]
-        elif key == "[":
-            self.split = max(0.0, self.split - 0.05)
-        elif key == "]":
-            self.split = min(1.0, self.split + 0.05)
-        elif key == "+":
-            self.cam = c._replace(fov=jnp.maximum(c.fov - FOV_STEP, 10.0))
-        elif key == "-":
-            self.cam = c._replace(fov=jnp.minimum(c.fov + FOV_STEP, 170.0))
-        elif key == "f":
-            self.cam = c._replace(fov=jnp.float32(cam_mod.DEFAULT_FOV))
-        elif key == "c":
-            self.crosshair = not self.crosshair
-        elif key == "h":  # hyperbolic flyby (main.cpp:404-410)
-            self.flying = (time.perf_counter(), 5.0)
-
-    def step_flyby(self):
-        if self.flying is None:
-            return
-        t0, dur = self.flying
-        t = (time.perf_counter() - t0) / dur
-        if t >= 1.0:
-            t, self.flying = 1.0, None
-        self.cam = cam_mod.hyperbolic_trajectory(
-            cam_mod.make_camera((0.0, 2.0, 15.0)), 30.0, 10.0, t)
-
-    def render(self):
-        cfg = dataclasses.replace(self.cfg, raytrace_type=self.mode,
-                                  curved_percentage=self.split,
-                                  crosshair=self.crosshair)
-        return np.asarray(self._frame(self.cam, self._r_s, self._atlas, cfg))
-
-    def blit(self, cells):
-        """cells: (2*rows, cols, 3) uint8 -> ANSI half-block frame."""
-        rows = []
-        for y in range(0, cells.shape[0] - 1, 2):
-            row = []
-            for x in range(cells.shape[1]):
-                t, b = cells[y, x], cells[y + 1, x]
-                row.append(f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m"
-                           f"\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀")
-            rows.append("".join(row))
-        sys.stdout.write("\x1b[H" + "\x1b[0m\n".join(rows) + "\x1b[0m")
-        sys.stdout.flush()
+    return frame
 
 
-def read_keys_nonblocking():
-    keys = []
-    while select.select([sys.stdin], [], [], 0)[0]:
-        ch = sys.stdin.read(1)
-        if not ch:
-            break
-        keys.append(ch)
-    return keys
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", default="1280x720",
-                    help="render resolution (reference default)")
-    ap.add_argument("--script", default=None,
-                    help="play this key string (one key per frame), no tty")
-    ap.add_argument("--out", default=None,
-                    help="write a JSON timing artifact (scripted mode)")
-    ap.add_argument("--no-blit", action="store_true",
-                    help="skip terminal output (pure loop timing)")
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--max-steps", type=int, default=100)
-    args = ap.parse_args()
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    w, h = (int(x) for x in args.size.split("x"))
-
-    from schwarzschild_tpu.compile_cache import enable_persistent_cache
-
-    enable_persistent_cache()
-    interpret = jax.default_backend() != "tpu"
-    # The production interactive config: tile-coherent noise mask (the
-    # BENCH interactive_720p_tile workload — ~136 FPS device-side on v5e).
-    cfg = st.RenderConfig(width=w, height=h, max_steps=args.max_steps,
-                          percent_black=0.75, noise_mode="tile",
-                          noise_tile=(8, 128), checkpoint_every=0)
-    v = Viewer(cfg, configs.demo_scene(), configs.background_texture(),
-               configs.demo_texture_stack(), configs.demo_camera(),
-               interpret=interpret)
-
-    lat = []
-    if args.script is not None:
-        for key in args.script:
-            v.handle(key)
-            if v.quit:
-                break
-            v.step_flyby()
-            t0 = time.perf_counter()
-            cells = v.render()
-            dt = time.perf_counter() - t0
-            lat.append(dt)
-            if not args.no_blit:
-                v.blit(cells)
-        stats = dict(
-            frames=len(lat), size=args.size,
-            first_frame_s_incl_compile=lat[0] if lat else None,
-            steady_ms_per_frame=float(np.mean(lat[1:]) * 1e3)
-            if len(lat) > 1 else None,
-            steady_fps=float(1.0 / np.mean(lat[1:])) if len(lat) > 1
-            else None,
-            note="wall latency incl. host fetch of the downsampled "
-                 "terminal cells through the tunnel; pure device time is "
-                 "BENCH interactive_720p_tile_ms",
-            device=str(jax.devices()[0]),
-        )
-        print()
-        print(json.dumps(stats))
-        if args.out:
-            with open(args.out, "w") as f:
-                json.dump(stats, f, indent=2)
-        return
-
-    # Interactive: raw tty, free-running loop (one render per iteration,
-    # like the reference's one draw per frame, main.cpp:319).
+def run_tty(frame, state, fps_cap):
     import termios
     import tty
 
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
-    sys.stdout.write("\x1b[2J")  # clear
+    sys.stdout.write("\x1b[2J\x1b[?25l")  # clear, hide cursor
+    frame_ms = 0.0
     try:
         tty.setcbreak(fd)
-        while not v.quit:
-            for key in read_keys_nonblocking():
-                v.handle(key)
-            v.step_flyby()
+        last = time.perf_counter()
+        while not state.quit:
             t0 = time.perf_counter()
-            cells = v.render()
-            lat.append(time.perf_counter() - t0)
-            v.blit(cells)
-            fps = 1.0 / max(np.mean(lat[-10:]), 1e-6)
-            sys.stdout.write(f"\n\x1b[0m{fps:5.1f} fps  "
-                             "[wsadeq move  ijkl look  1-4 mode  [ ] split  "
-                             "h flyby  c cross  x quit]\x1b[K")
+            img = frame(state)
+            frame_ms = (time.perf_counter() - t0) * 1e3
+            sys.stdout.write(viewer.ansi_frame(img,
+                                               viewer.hud(state, frame_ms)))
             sys.stdout.flush()
+            # pace to the cap, then drain whatever keys arrived
+            budget = 1.0 / fps_cap - (time.perf_counter() - t0)
+            r, _, _ = select.select([fd], [], [], max(budget, 0.0))
+            if r:
+                for k in viewer.decode_keys(sys.stdin.buffer.read1(64)):
+                    state = viewer.apply_key(state, k)
+            now = time.perf_counter()
+            state = viewer.advance_flyby(state, now - last)
+            last = now
     finally:
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
-        sys.stdout.write("\x1b[0m\n")
+        sys.stdout.write("\x1b[0m\x1b[?25h\n")
+
+
+SELFTEST_SCRIPT = ["w", "a", "up", "left", "+", "2", "1", "r", "r", "h",
+                   "down", "right", "s", "d", "-", "q"]
+
+
+def run_script(frame, state, script, artifact=None):
+    """Scripted session, no TTY: plays ``script`` keys one frame apart and
+    prints (optionally writes) a timing artifact — the harness-checkable
+    proof the interactive loop works end to end."""
+    times = []
+    for k in script:
+        t0 = time.perf_counter()
+        img = frame(state)
+        times.append((time.perf_counter() - t0) * 1e3)
+        assert img.shape[2] == 3 and img.dtype == np.uint8
+        state = viewer.apply_key(state, k)
+        state = viewer.advance_flyby(state, 0.05)
+        if state.quit:
+            break
+    steady = sorted(times[2:])[len(times[2:]) // 2] if len(times) > 2 \
+        else times[-1]
+    msg = (f"script ok: {len(times)} frames, median steady frame "
+           f"{steady:.1f} ms ({1e3 / steady:.0f} FPS)")
+    print(msg)
+    if artifact:
+        import json
+
+        with open(artifact, "w") as f:
+            json.dump({"frames": len(times), "frame_ms": times,
+                       "median_steady_ms": steady,
+                       "keys": list(script)}, f, indent=2)
+    return times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=192)
+    ap.add_argument("--height", type=int, default=96)
+    ap.add_argument("--config", type=int, default=2, choices=(2, 3))
+    ap.add_argument("--fps-cap", type=float, default=30.0)
+    ap.add_argument("--selftest", action="store_true")
+    ap.add_argument("--script", help="play this key string headlessly "
+                    "(e.g. 'wwa1hxq') instead of reading the TTY")
+    ap.add_argument("--artifact", help="write frame timings to this JSON")
+    args = ap.parse_args()
+
+    enable_persistent_cache()
+    interpret = jax.default_backend() != "tpu"
+    if args.config == 3:
+        conf = configs.config3_full_scene()
+    else:
+        conf = dict(scene=configs.demo_scene(),
+                    background=configs.background_texture(),
+                    tex=configs.demo_texture_stack())
+    frame = make_renderer(conf, args.width, args.height, interpret)
+    state = viewer.initial_state()
+
+    if args.script:
+        run_script(frame, state, viewer.decode_keys(args.script.encode()),
+                   artifact=args.artifact)
+    elif args.selftest or not sys.stdin.isatty():
+        times = run_script(frame, state, SELFTEST_SCRIPT,
+                           artifact=args.artifact)
+        assert len(times) == len(SELFTEST_SCRIPT)
+    else:
+        run_tty(frame, state, args.fps_cap)
 
 
 if __name__ == "__main__":
