@@ -16,8 +16,10 @@ Setup:
   * params — ALL InverseParams free: r_s (softplus), camera position,
     orientation free vectors, fov, AND the disk layer's texels (init: flat
     0.5 gray — no truth leakage).
-  * optim  — Adam + cosine LR decay to ~1% (inverse.default_optimizer
-    decay_steps; the r04 constant-LR loss oscillated 10x past its minimum).
+  * optim  — staged coarse-to-fine: Gaussian-blur multi-scale loss with a
+    sigma schedule, early stages at HALF resolution (a sigma's basin is
+    sigma pixels wide), per-group Adam LRs, and texels strictly alternated
+    with pose (see the stage table in main()).
   * renderer — "fast": Pallas march forward, scene-free Pallas adjoint
     backward; texel gradients flow through the traced-atlas compose path.
 
@@ -88,8 +90,8 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--size", type=int, default=128,
+                    help="fine resolution; pose stages start at size/2")
     ap.add_argument("--factor", type=int, default=4,
                     help="texture downsample factor (2048x1024 / factor)")
     ap.add_argument("--out", default="/root/repo/INVERSE_r05.json")
@@ -99,26 +101,33 @@ def main():
     enable_persistent_cache()
     on_tpu = jax.devices()[0].platform != "cpu"
     N = args.size
-    n_steps = args.steps
+    N_coarse = N // 2
     factor = args.factor
     sc = configs._orbiting_planets_scene()
     cam_true = configs.demo_camera()
     bg = configs.background_texture()
     tex = small_planet_stack(factor)
     disk_slot = 5
-    cfg = st.RenderConfig(width=N, height=N, max_steps=args.max_steps,
-                          percent_black=-1.0, horizon_softness=0.1,
-                          checkpoint_every=0)
+    cfgs = {n: st.RenderConfig(width=n, height=n, max_steps=args.max_steps,
+                               percent_black=-1.0, horizon_softness=0.1,
+                               checkpoint_every=0)
+            for n in (N_coarse, N)}
+    cfg = cfgs[N]
     offsets = [(0.0, 0.0, 0.0), (5.0, 0.0, -3.0)]
 
-    # Truth targets: r_s = 1, true pose, true disk texture — both views.
-    def render_view(off):
+    # Truth targets: r_s = 1, true pose, true disk texture — both views, at
+    # BOTH resolutions (the pose stages run coarse-to-fine; a blur sigma is
+    # a PIXEL width, so its world-angle basin halves every resolution
+    # doubling — the r5 experiments measured the 64^2-converged schedule
+    # DIVERGING when run directly at 128^2 for exactly that reason).
+    def render_view(off, n):
         cam = cam_true._replace(
             pos=jnp.asarray(cam_true.pos, jnp.float32)
             + jnp.asarray(off, jnp.float32))
-        return render_fast(sc, cam, cfg, bg, tex, 1.0, overflow="ignore")
+        return render_fast(sc, cam, cfgs[n], bg, tex, 1.0, overflow="ignore")
 
-    targets = [jax.jit(lambda o=o: render_view(o))() for o in offsets]
+    targets = {n: [jax.jit(lambda o=o, n=n: render_view(o, n))()
+                   for o in offsets] for n in cfgs}
     jax.block_until_ready(targets)
     log("targets rendered (r_s=1, true pose, true disk texture)")
 
@@ -135,26 +144,78 @@ def main():
         + jnp.asarray([0.02, -0.015, 0.01], jnp.float32))
     init_layer = np.asarray(params.disk_texture)
 
-    optimizer = inverse.default_optimizer(2e-2, decay_steps=n_steps)
-    opt_state = optimizer.init(params)
-    loss_fn = inverse.make_multiview_loss(sc, cfg, bg, tex, disk_slot,
-                                          targets, offsets, renderer="fast")
-    train_step = inverse.make_train_step(loss_fn, optimizer)
+    # Staged optimization (the r5 experiment outcome; every earlier single-
+    # schedule attempt failed a different way):
+    #   * Gaussian-BLUR multi-scale loss, NOT pooling — blur keeps subpixel
+    #     localization (make_multiview_loss blur_sigmas docstring);
+    #   * coarse-to-fine in BOTH sigma and RESOLUTION — a sigma's basin is
+    #     sigma PIXELS wide, so early stages run at N/2 where the initial
+    #     pose error is safely inside it;
+    #   * per-GROUP Adam LRs — orientation raws move the image ~1 deg per
+    #     2e-2 step, 20x the equivalent position step; one global LR either
+    #     thrashes the orientation or freezes the position;
+    #   * texels strictly ALTERNATED with pose (frozen complements): joint
+    #     steps let the texture absorb pose error (measured PSNR drop), and
+    #     a flat-gray disk drags the pose at sharp sigmas.
+    import optax
+
+    P = dict(mass=2e-2, pos=2e-2, orient=1e-3, fov=5e-2)
+
+    def sc_lr(f):
+        return {k: v * f for k, v in P.items()}
+
+    stages = [
+        ("S1 pose  @%d (8,2)" % N_coarse, N_coarse, (8.0, 2.0), sc_lr(1.0),
+         150),
+        ("S2 pose  @%d (4,1)" % N_coarse, N_coarse, (4.0, 1.0), sc_lr(0.5),
+         100),
+        ("S3 pose  @%d (2,.5)" % N_coarse, N_coarse, (2.0, 0.5),
+         sc_lr(0.25), 100),
+        ("S4 pose  @%d (4,1)" % N, N, (4.0, 1.0), sc_lr(0.25), 100),
+        ("S5 pose  @%d (2,.5)" % N, N, (2.0, 0.5), sc_lr(0.125), 100),
+        ("S6 texel @%d" % N, N, (0.0,), dict(tex=3e-2), 200),
+        ("S7 pose  @%d (2,.5)" % N, N, (2.0, 0.5), sc_lr(0.06), 100),
+        ("S8 texel @%d" % N, N, (0.0,), dict(tex=1e-2), 200),
+    ]
+    n_steps = sum(s[-1] for s in stages)
+
+    def stage_optimizer(lrs):
+        lab = lambda k: k if k in lrs else "frozen"
+        labels = inverse.InverseParams(
+            r_s_raw=lab("mass"), cam_pos=lab("pos"),
+            cam_fwd_raw=lab("orient"), cam_right_raw=lab("orient"),
+            fov=lab("fov"), disk_texture=lab("tex"))
+        tx = {k: optax.adam(v) for k, v in lrs.items()}
+        tx["frozen"] = optax.set_to_zero()
+        return optax.chain(
+            inverse.zero_nonfinite(),
+            optax.clip_by_global_norm(1.0),
+            optax.multi_transform(tx, labels))
 
     history = []
-    params, opt_state, loss = train_step(params, opt_state)  # compile
-    history.append(float(loss))
-    log(f"compiled; step 0 loss {history[0]:.6f}")
-    t0 = time.time()
-    for step in range(1, n_steps):
-        params, opt_state, loss = train_step(params, opt_state)
+    t_steps = 0.0
+    opt_state = None
+    for sname, n_img, sigmas, lrs, pn in stages:
+        loss_fn = inverse.make_multiview_loss(
+            sc, cfgs[n_img], bg, tex, disk_slot, targets[n_img], offsets,
+            renderer="fast", blur_sigmas=sigmas)
+        optimizer = stage_optimizer(lrs)
+        opt_state = optimizer.init(params)
+        train_step = inverse.make_train_step(loss_fn, optimizer)
+        params, opt_state, loss = train_step(params, opt_state)  # compile
         history.append(float(loss))
-        if step % 50 == 0:
-            _, r_s_fit, _ = inverse.realize(params, tex, disk_slot)
-            log(f"step {step}: loss {float(loss):.6f} "
-                f"r_s {float(r_s_fit):.4f}")
-    jax.block_until_ready(params)
-    per_step_ms = (time.time() - t0) / (n_steps - 1) * 1e3
+        t0 = time.time()
+        for step in range(1, pn):
+            params, opt_state, loss = train_step(params, opt_state)
+            history.append(float(loss))
+        jax.block_until_ready(params)
+        t_steps += time.time() - t0
+        cam_f, r_s_f, _ = inverse.realize(params, tex, disk_slot)
+        pe = float(np.linalg.norm(np.asarray(cam_f.pos)
+                                  - np.asarray(cam_true.pos)))
+        log(f"{sname}: loss {float(loss):.6f} r_s {float(r_s_f):.4f} "
+            f"pos_err {pe:.3f}")
+    per_step_ms = t_steps / max(n_steps - len(stages), 1) * 1e3
 
     cam_fit, r_s_fit, _ = inverse.realize(params, tex, disk_slot)
     r_s_fit = float(r_s_fit)
@@ -201,10 +262,14 @@ def main():
         ((init_layer - truth_layer) ** 2)[sampled & region].mean()), 1e-12))
     coverage = float((sampled & region).sum() / region.sum())
 
-    # Tail behavior: the cosine-decayed tail must settle near its minimum
-    # (r04 weak #4: constant LR oscillated 10x past the min).
-    tail = np.asarray(history[-40:])
-    tail_ratio = float(tail.mean() / max(min(history), 1e-12))
+    # Tail behavior within the FINAL stage (stage losses are not comparable
+    # across stages — each blurs differently): the last-stage tail must
+    # settle near that stage's minimum (r04 weak #4: constant LR oscillated
+    # 10x past the min).
+    last_n = stages[-1][-1]
+    stage_hist = np.asarray(history[-last_n:])
+    tail = stage_hist[-40:]
+    tail_ratio = float(tail.mean() / max(stage_hist.min(), 1e-12))
 
     fired = inverse.nonfinite_fired(opt_state)
     shadow_true = 1.0 / float(np.linalg.norm(np.asarray(cam_true.pos)))
@@ -212,12 +277,18 @@ def main():
 
     out = {
         "round": 5, "device": str(jax.devices()[0]),
-        "config": f"config5 planets scene, {N}x{N}, 2 views (known baseline "
-                  f"{offsets[1]}), max_steps={args.max_steps}, horizon_softness=0.1, "
-                  f"Adam 2e-2 cosine-decay over {n_steps} steps, "
+        "config": f"config5 planets scene, 2 views (known baseline "
+                  f"{offsets[1]}), max_steps={args.max_steps}, "
+                  f"horizon_softness=0.1, Gaussian-blur multi-scale loss, "
+                  f"coarse-to-fine {N_coarse}^2 -> {N}^2 with sigma "
+                  f"schedule (8,2)->(4,1)->(2,.5), per-group Adam LRs, "
+                  f"texels strictly alternated with pose "
+                  f"({len(stages)} stages, {n_steps} steps total), "
                   f"renderer=fast (Pallas fwd + scene-free Pallas adjoint); "
                   f"free: r_s, cam pos, orientation, fov, disk texels "
                   f"(saturn-ring layer at {tw}x{th}, init flat 0.5)",
+        "stages": [dict(name=s[0], res=s[1], sigmas=list(s[2]),
+                        lrs=s[3], steps=s[4]) for s in stages],
         "start": {"r_s": 0.7, "cam_pos_err": pos_err0,
                   "disk_psnr_sampled_db": psnr_init},
         "recovered": {

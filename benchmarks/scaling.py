@@ -181,6 +181,9 @@ if __name__ == "__main__":
                     help="host:port of process 0 (multi-host pod slice)")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--out", default=None,
+                    help="also write the result JSON to this path "
+                         "(e.g. /root/repo/SCALING_r05.json)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -198,3 +201,12 @@ if __name__ == "__main__":
               args.production, args.max_steps)
     if jax.process_index() == 0:
         print(json.dumps(res, indent=2))
+        if args.out:
+            meta = dict(results={str(k): v for k, v in res.items()},
+                        image_size=args.image_size,
+                        renderer=args.renderer,
+                        production=args.production,
+                        device=str(jax.devices()[0]),
+                        n_processes=jax.process_count())
+            with open(args.out, "w") as f:
+                json.dump(meta, f, indent=2)

@@ -135,10 +135,45 @@ def make_loss(sc: Scene, cfg: RenderConfig, background: Texture,
     return loss_fn
 
 
+def _avg_pool(img, k):
+    h, w, c = img.shape
+    return img[: h // k * k, : w // k * k].reshape(
+        h // k, k, w // k, k, c).mean(axis=(1, 3))
+
+
+def gaussian_blur(img, sigma):
+    """Separable Gaussian blur of an (H, W, C) image (zero-padded edges —
+    shared by render and target, so the edge artifact cancels in an MSE).
+
+    The multi-scale fitting tool (see make_multiview_loss ``blur_sigmas``):
+    unlike decimation, blur keeps SUBPIXEL localization — the blurred MSE
+    is minimized exactly at the true pose with a basin ~sigma pixels wide,
+    while a pooled image cannot localize features better than the pool
+    cell (the r5 config-5 experiments measured pooled-only phase-A fits
+    stalling at ~0.5-unit position error for exactly that reason).
+    """
+    if sigma <= 0:
+        return img
+    r = int(3.0 * sigma)
+    x = np.arange(-r, r + 1)
+    k = np.exp(-x * x / (2.0 * sigma * sigma))
+    k = jnp.asarray(k / k.sum(), jnp.float32)
+
+    def conv_axis(a, axis):
+        a2 = jnp.moveaxis(a, axis, -1)
+        sh = a2.shape
+        out = jax.vmap(lambda v: jnp.convolve(v, k, mode="same"))(
+            a2.reshape(-1, sh[-1]))
+        return jnp.moveaxis(out.reshape(sh), -1, axis)
+
+    return conv_axis(conv_axis(img, 0), 1)
+
+
 def make_multiview_loss(sc: Scene, cfg: RenderConfig, background: Texture,
                         tex: Optional[TextureStack],
                         disk_slot: Optional[int], targets, cam_offsets,
-                        renderer: str = "fast"):
+                        renderer: str = "fast", pyramid=(1,),
+                        blur_sigmas=None, interpret: bool = False):
     """Mean MSE over V views; view i renders from the optimized camera
     TRANSLATED by the known world-space offset ``cam_offsets[i]``.
 
@@ -152,6 +187,18 @@ def make_multiview_loss(sc: Scene, cfg: RenderConfig, background: Texture,
 
     ``targets``: list of V (H, W, 4) images; ``cam_offsets``: list of V
     (3,) offsets (use (0,0,0) for the primary view).
+
+    ``blur_sigmas`` (preferred) / ``pyramid``: multi-scale loss levels.  A
+    pixel-level MSE against a high-frequency background (the 2k Milky Way)
+    DECORRELATES a few pixels of pose error out — the warped starfield
+    matches nothing and the loss goes flat (the r04 smooth-sky lesson, now
+    solved in-loss).  ``blur_sigmas=(8., 2., 0.)`` sums MSEs of
+    Gaussian-blurred image pairs: each level keeps a smooth basin ~sigma
+    pixels wide AND subpixel localization (see :func:`gaussian_blur` — the
+    r5 experiments measured pooled levels stalling at the pool-cell
+    precision limit, while blur(8)+blur(2) recovered the pose).
+    ``pyramid`` (average-pool factors, e.g. (1, 4, 16)) is kept for
+    comparison; ignored when ``blur_sigmas`` is given.
     """
     if len(targets) != len(cam_offsets):
         raise ValueError("one camera offset per target view")
@@ -160,24 +207,110 @@ def make_multiview_loss(sc: Scene, cfg: RenderConfig, background: Texture,
 
         def render_any(sc, cam, cfg, background, tex_p, r_s):
             return render_fast(sc, cam, cfg, background, tex_p, r_s,
-                               overflow="ignore", differentiable=True)
+                               overflow="ignore", differentiable=True,
+                               interpret=interpret)
     elif renderer == "jnp":
         render_any = render
     else:
         raise ValueError(f"unknown renderer {renderer!r}")
 
     offs = [jnp.asarray(o, jnp.float32) for o in cam_offsets]
+    if blur_sigmas is not None:
+        levels = list(blur_sigmas)
+        lvl_of = gaussian_blur
+    else:
+        levels = list(pyramid)
+        lvl_of = lambda img, k: img if k == 1 else _avg_pool(img, k)
+    tgt_pyr = [[lvl_of(jnp.asarray(t), k) for k in levels] for t in targets]
 
     def loss_fn(params: InverseParams):
         cam, r_s, tex_p = realize(params, tex, disk_slot)
         total = jnp.float32(0.0)
-        for tgt, off in zip(targets, offs):
+        for tgts, off in zip(tgt_pyr, offs):
             cam_i = cam._replace(pos=cam.pos + off)
             img = render_any(sc, cam_i, cfg, background, tex_p, r_s=r_s)
-            total = total + jnp.mean((img - tgt) ** 2)
-        return total / len(targets)
+            for k, tgt in zip(levels, tgts):
+                total = total + jnp.mean((lvl_of(img, k) - tgt) ** 2)
+        return total / (len(targets) * len(levels))
 
     return loss_fn
+
+
+def pack_pose(p: InverseParams) -> np.ndarray:
+    """The 11 pose/mass scalars as a flat vector (r_s_raw, cam_pos,
+    cam_fwd_raw, cam_right_raw, fov) — the CEM search space."""
+    return np.concatenate([
+        np.ravel(np.asarray(x, np.float32)) for x in
+        (p.r_s_raw, p.cam_pos, p.cam_fwd_raw, p.cam_right_raw, p.fov)])
+
+
+def unpack_pose(v, base: InverseParams) -> InverseParams:
+    v = jnp.asarray(v, jnp.float32)
+    return base._replace(r_s_raw=v[0], cam_pos=v[1:4], cam_fwd_raw=v[4:7],
+                         cam_right_raw=v[7:10], fov=v[10])
+
+
+# Default CEM sampling stds per packed dim: position ~0.3 world units, raw
+# orientation vectors ~0.03 (a few degrees), r_s_raw ~0.3, fov ~3 deg.
+CEM_DEFAULT_STD = np.array(
+    [0.3, 0.3, 0.3, 0.3, 0.03, 0.03, 0.03, 0.03, 0.03, 0.03, 3.0],
+    np.float32)
+
+
+def cem_fit_pose(loss_fn, p0: InverseParams, n_iters=40, pop=64, elite=16,
+                 init_std=None, seed=0, log_fn=None):
+    """Cross-entropy-method search over the 11 pose/mass dims (texels and
+    every other leaf stay at ``p0``).
+
+    Gradient descent on an image MSE — even Gaussian-blurred — proved
+    FRAGILE for the joint pose+mass basin: the r5 experiments measured the
+    same Adam schedule converging at one (resolution, max_steps) and
+    diverging to a wrong basin (r_s 0.7 -> 0.41, position error 2x the
+    init) at another.  A derivative-free population search has no such
+    sensitivity: each iteration draws ``pop`` pose samples around the
+    running mean, evaluates the loss on every sample IN ONE DEVICE CALL
+    (``lax.map`` inside a single jit — one dispatch through the tunnel, the
+    device marches pop x views frames back to back), and refits mean/std to
+    the ``elite`` best.  ~40 iterations at 64^2 with a blur(8,2) loss finds
+    the basin in seconds of device time; Adam then polishes within it.
+
+    Returns (best_params, info dict).  The diagonal std is re-fit each
+    iteration (x1.1 anti-collapse), so the search narrows itself; ``pop``
+    evaluations per iteration make the wall cost pop/elite times a
+    forward-only Adam step, all batched.
+    """
+    init_std = CEM_DEFAULT_STD if init_std is None else \
+        np.asarray(init_std, np.float32)
+
+    @jax.jit
+    def batch_loss(V):
+        return jax.lax.map(lambda v: loss_fn(unpack_pose(v, p0)), V)
+
+    mu = pack_pose(p0)
+    sig = init_std.copy()
+    rng = np.random.default_rng(seed)
+    best_v, best_l = mu, np.inf
+    history = []
+    for it in range(n_iters):
+        V = mu[None] + sig[None] * rng.standard_normal(
+            (pop, mu.size)).astype(np.float32)
+        V[0] = mu  # elitism: the running mean always competes
+        L = np.asarray(batch_loss(jnp.asarray(V)))
+        L = np.where(np.isfinite(L), L, np.inf)
+        idx = np.argsort(L)[:elite]
+        if L[idx[0]] < best_l:
+            best_l, best_v = float(L[idx[0]]), V[idx[0]].copy()
+        mu = V[idx].mean(0)
+        sig = V[idx].std(0) * 1.1 + 1e-5
+        history.append(float(L[idx[0]]))
+        if log_fn and it % 5 == 0:
+            log_fn(f"cem it{it}: best {L[idx[0]]:.6f} "
+                   f"sig_pos~{float(sig[1:4].mean()):.3f}")
+    # The final mean is the denoised estimate; keep whichever scores better.
+    final_l = float(batch_loss(jnp.asarray(mu[None]))[0])
+    if final_l <= best_l:
+        best_v, best_l = mu, final_l
+    return unpack_pose(best_v, p0), dict(best_loss=best_l, history=history)
 
 
 class ZeroNonfiniteState(NamedTuple):

@@ -124,6 +124,36 @@ def test_multiview_loss_breaks_scale_gauge_mechanics():
         assert (leaf != 0).any(), name
 
 
+def test_cem_fit_pose_finds_known_minimum():
+    """cem_fit_pose: the derivative-free pose searcher recovers a known
+    11-dim optimum of a synthetic loss (machinery test; the INVERSE_r05
+    harness drives it through the real blurred render loss)."""
+    sc, cam, bg, tex = _setup()
+    p_start = inverse.init_params(cam, 0.7, tex, disk_slot=0)
+    p_true = inverse.init_params(
+        cam._replace(pos=jnp.asarray(cam.pos, jnp.float32)
+                     + jnp.asarray([0.2, -0.1, 0.15], jnp.float32)),
+        1.0, tex, disk_slot=0)
+    v_true = jnp.asarray(inverse.pack_pose(p_true))
+
+    def loss_fn(p):
+        v = jnp.concatenate([jnp.ravel(x) for x in
+                             (p.r_s_raw[None], p.cam_pos, p.cam_fwd_raw,
+                              p.cam_right_raw, p.fov[None])])
+        return jnp.sum((v - v_true) ** 2)
+
+    fit, info = inverse.cem_fit_pose(loss_fn, p_start, n_iters=25, pop=48,
+                                     elite=12, seed=1)
+    assert info["best_loss"] < 1e-3
+    # Improvement is monotone-ish: last iterate far better than first.
+    assert info["history"][-1] < 0.01 * info["history"][0]
+    np.testing.assert_allclose(inverse.pack_pose(fit),
+                               np.asarray(v_true), atol=0.05)
+    # Texels (not part of the search space) must pass through untouched.
+    np.testing.assert_array_equal(np.asarray(fit.disk_texture),
+                                  np.asarray(p_start.disk_texture))
+
+
 def test_checkpoint_resume(tmp_path):
     sc, cam, bg, tex = _setup()
     target = st.render(sc, cam, CFG, bg, tex, r_s=1.0)
