@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -117,8 +118,17 @@ def safe_length(v, eps=1e-24):
 
 
 def safe_normalize(v, eps=1e-24):
-    """normalize(v) with finite gradients everywhere (0 maps to 0)."""
-    return v / safe_length(v, eps)[..., None]
+    """normalize(v) with finite gradients everywhere (0 maps to 0).
+
+    Written as ``v * rsqrt(max(v.v, eps))`` — the form XLA:TPU canonicalizes
+    every divide-by-sqrt variant into EXCEPT the broadcast stacked divide
+    (``v / sqrt(...)[..., None]`` stays a true division and differs in the
+    last ulp for ~60% of operands, measured on v5e).  Keeping every
+    normalization in the canonical attractor form is what makes the Pallas
+    kernels bit-equal to this jnp twin (PARITY_r05 root cause; see
+    kernel._tangent_of and docs/tpu_cost_model.md section 9).
+    """
+    return v * jax.lax.rsqrt(jnp.maximum(dot(v, v), eps))[..., None]
 
 
 def square_vector(v):

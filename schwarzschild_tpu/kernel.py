@@ -50,12 +50,37 @@ def _rnorm(ax, ay, az):
     return jax.lax.rsqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-20))
 
 
+def _len3(ax, ay, az):
+    """sqrt-of-dot length with the kernel's 1e-20 floor.
+
+    Kernel normalizations DIVIDE by this (v / len), never multiply by its
+    reciprocal: on TPU ``v * rsqrt(s)`` double-rounds and differs from
+    ``v / sqrt(s)`` in the last ulp for ~60% of operands (measured), and
+    render.py — the f64-oracle-validated realization these kernels must
+    match bitwise — divides.  (``rsqrt(s)`` itself IS bit-equal to
+    ``1/sqrt(s)`` here, so scalar reciprocals may use either form.)
+    The 1e-20 floor is inert on real lanes (render.py's 1e-24 equivalent)
+    and keeps padding lanes at u <= 1e10, which the adjoint's vjp needs to
+    stay finite (see kernel_scene._scene_march_bwd_kernel)."""
+    return jnp.sqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-20))
+
+
 def _tangent_of(nx, ny, nz, dx, dy, dz):
-    # t = normalize(cross(cross(n, d), n)) = normalize(d - n (n.d))
+    # t = normalize(cross(cross(n, d), n)) — the component expansion mirrors
+    # jnp.cross exactly (a1*b2 - a2*b1, ...), NOT the algebraically equal
+    # d - n (n.d): with |n| off 1 by an ulp the two forms differ by
+    # ~ulp * d, which the near-photon-sphere trajectories amplify to a
+    # visible pixel (PARITY_r05 root cause).  Matching render.py's
+    # realization op-for-op makes the kernel march bit-equal to the
+    # oracle-validated jnp twin on TPU (rsqrt == 1/sqrt and x*(1/y) == x/y
+    # bitwise there — see docs/tpu_cost_model.md section 9).
     nd = _dot3(nx, ny, nz, dx, dy, dz)
-    tx = dx - nx * nd
-    ty = dy - ny * nd
-    tz = dz - nz * nd
+    cx = ny * dz - nz * dy
+    cy = nz * dx - nx * dz
+    cz = nx * dy - ny * dx
+    tx = cy * nz - cz * ny
+    ty = cz * nx - cx * nz
+    tz = cx * ny - cy * nx
     inv = _rnorm(tx, ty, tz)
     return tx * inv, ty * inv, tz * inv, nd
 
@@ -174,8 +199,12 @@ def _make_bh_body(r_s, *, max_steps: int, max_angle: float, u_f: float,
         ddx = npx - s["px"]
         ddy = npy - s["py"]
         ddz = npz - s["pz"]
+        # seg_len as a direct sqrt (render.py's safe_length — the capture
+        # test cap_lam <= seg_len sits on its exact value, and 1/rsqrt
+        # double-rounds); the direction via rsqrt-mult (the canonical form
+        # every normalization uses — see geo.safe_normalize).
+        seg_len = _len3(ddx, ddy, ddz)
         inv_seg = rnorm(ddx, ddy, ddz)
-        seg_len = 1.0 / inv_seg
         sdx, sdy, sdz = ddx * inv_seg, ddy * inv_seg, ddz * inv_seg
 
         # Horizon capture along the segment (frag:757-758 as a scene sphere).

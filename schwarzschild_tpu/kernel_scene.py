@@ -278,11 +278,24 @@ def _rnorm(ax, ay, az):
     return jax.lax.rsqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-20))
 
 
+def _len3(ax, ay, az):
+    """sqrt-of-dot length; normalizations DIVIDE by it (never multiply by
+    its reciprocal) — see kernel._len3 for the bitwise-parity rationale."""
+    return jnp.sqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-20))
+
+
 def _tangent_of(nx, ny, nz, dx, dy, dz):
+    # normalize(cross(cross(n, d), n)) expanded in jnp.cross's component
+    # order — NOT the algebraically equal d - n (n.d); see kernel._tangent_of
+    # (PARITY_r05 root cause: the ~ulp difference between the two forms is
+    # chaos-amplified near the photon sphere).
     nd = _dot3(nx, ny, nz, dx, dy, dz)
-    tx = dx - nx * nd
-    ty = dy - ny * nd
-    tz = dz - nz * nd
+    cx = ny * dz - nz * dy
+    cy = nz * dx - nx * dz
+    cz = nx * dy - ny * dx
+    tx = cy * nz - cz * ny
+    ty = cz * nx - cx * nz
+    tz = cx * ny - cy * nx
     inv = _rnorm(tx, ty, tz)
     return tx * inv, ty * inv, tz * inv, nd
 
@@ -536,8 +549,10 @@ def _make_march_body(r_s, tabs, *, table_rows, n_slots, max_steps, max_angle,
         ddx = npx - s["px"]
         ddy = npy - s["py"]
         ddz = npz - s["pz"]
+        # seg_len via direct sqrt, direction via the canonical rsqrt-mult
+        # (see kernel.py's segment comment).
+        seg_len = _len3(ddx, ddy, ddz)
         inv_seg = rnorm(ddx, ddy, ddz)
-        seg_len = 1.0 / inv_seg
         sdx, sdy, sdz = ddx * inv_seg, ddy * inv_seg, ddz * inv_seg
 
         best, bh, best_opq = segment_min_dist(s["px"], s["py"], s["pz"],
@@ -744,6 +759,7 @@ def _make_diff_step(max_steps, max_angle, u_f):
 
         u_rec = jnp.maximum(u1, 1e-6)
         inv_u = 1.0 / u_rec
+        # Mirrors the forward body exactly (bit-identical replay contract).
         cphi, sphi = jnp.cos(phi_new), jnp.sin(phi_new)
         npx = (cphi * nx + sphi * tx) * inv_u
         npy = (cphi * ny + sphi * ty) * inv_u
@@ -751,8 +767,8 @@ def _make_diff_step(max_steps, max_angle, u_f):
         ddx = npx - px
         ddy = npy - py
         ddz = npz - pz
+        seg_len = _len3(ddx, ddy, ddz)
         inv_seg = rnorm(ddx, ddy, ddz)
-        seg_len = 1.0 / inv_seg
         sdx, sdy, sdz = ddx * inv_seg, ddy * inv_seg, ddz * inv_seg
 
         new_core = (

@@ -193,18 +193,39 @@ def _march_step(
     where = lambda m, a, b: jnp.where(m, a, b)
     wherev = lambda m, a, b: jnp.where(m[..., None], a, b)
 
+    # The GEODESIC-STATE arithmetic below is the kernels' plane-wise helper
+    # code, called directly (kernel._tangent_of / _rnorm / the inline
+    # sphere-entry) rather than re-derived in stacked-vector form: two
+    # algebraically-equal realizations differ in the last ulp, and the
+    # near-photon-sphere trajectories amplify that to visible pixels
+    # (PARITY_r05 root cause).  One source of truth = the Pallas kernels,
+    # this twin, and the adjoint replay are all bit-identical on TPU.
+    from .kernel import _dot3, _rnorm, _tangent_of
+
+    px, py, pz = state.pos[..., 0], state.pos[..., 1], state.pos[..., 2]
+    dxc, dyc, dzc = (state.direction[..., 0], state.direction[..., 1],
+                     state.direction[..., 2])
+
     # --- far-field flat-space approximation (frag:891-912) ---
     ff = active & (state.u < u_f)
-    from .intersect import black_hole_candidate
-
-    big = black_hole_candidate(
-        state.pos, state.direction, jnp.full(state.u.shape, -1.0, f32), 1.0 / u_f
-    )
-    big_valid = big.valid[..., 0]
-    big_point = big.point[..., 0, :]
-    new_n = geo.safe_normalize(jnp.where(big_valid[..., None], big_point,
-                                         jnp.ones_like(big_point)))
-    radial = physics.is_radial(state.direction, new_n)
+    # Big-sphere entry (frag:457-470 on the 1/u_f far sphere).
+    d_oc = _dot3(dxc, dyc, dzc, px, py, pz)
+    oc2 = _dot3(px, py, pz, px, py, pz)
+    radius = 1.0 / u_f
+    disc = d_oc * d_oc - oc2 + radius * radius
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-20))
+    lam1 = -d_oc - sq
+    lam2 = -d_oc + sq
+    big_lam = where((lam1 > 0) & (lam2 > 0), jnp.minimum(lam1, lam2),
+                    where(lam1 > 0, lam1, where(lam2 > 0, lam2, -1.0)))
+    big_valid = (disc >= 0.0) & (big_lam >= 0.0)
+    hx = px + big_lam * dxc
+    hy = py + big_lam * dyc
+    hz = pz + big_lam * dzc
+    inv_h = _rnorm(hx, hy, hz)
+    nnx, nny, nnz = hx * inv_h, hy * inv_h, hz * inv_h
+    nd = _dot3(nnx, nny, nnz, dxc, dyc, dzc)
+    radial = jnp.abs(nd) >= 1.0 - geo.EPSILON
     finish_flat = ff & (~big_valid | radial)
     reinit = ff & big_valid & ~radial
 
@@ -212,13 +233,12 @@ def _march_step(
     # 1e-20 guard to zero on TPU (f32 FTZ) -> NaN grads (see intersect.py
     # _DIV_GUARD).  Non-radial lanes have |dot(dir, tangent)| >= ~4.5e-4,
     # so the forward value of live lanes is untouched.
-    new_t = geo.safe_normalize(geo.cross(geo.cross(new_n, state.direction), new_n))
-    t_safe = jnp.where(
-        jnp.abs(geo.dot(state.direction, new_t)) < 1e-12, 1e-12,
-        geo.dot(state.direction, new_t),
-    )
-    new_u = 1.0 / jnp.maximum(geo.length(big_point), 1e-12)
-    new_du = -new_u * geo.dot(state.direction, new_n) / t_safe
+    ntx, nty, ntz, _ = _tangent_of(nnx, nny, nnz, dxc, dyc, dzc)
+    dt = _dot3(ntx, nty, ntz, dxc, dyc, dzc)
+    new_u = inv_h
+    new_du = -new_u * nd / jnp.where(jnp.abs(dt) < 1e-12, 1e-12, dt)
+    new_n = jnp.stack([nnx, nny, nnz], axis=-1)
+    new_t = jnp.stack([ntx, nty, ntz], axis=-1)
 
     normal_vec = wherev(reinit, new_n, state.normal_vec)
     tangent_vec = wherev(reinit, new_t, state.tangent_vec)
@@ -244,10 +264,23 @@ def _march_step(
     # (f32 inf -> NaN cotangents in reverse mode; r > 1e6 is 4 orders past
     # the far-field boundary, so only the — unchanged — direction matters).
     u_rec = jnp.maximum(u_new, 1e-6)
-    new_pos = physics.reconstruct_position(phi, u_rec, normal_vec, tangent_vec)
-    delta = new_pos - state.pos
-    seg_len = geo.safe_length(delta)
-    new_dir = delta / seg_len[..., None]
+    inv_u = 1.0 / u_rec
+    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    nvx, nvy, nvz = (normal_vec[..., 0], normal_vec[..., 1],
+                     normal_vec[..., 2])
+    tvx, tvy, tvz = (tangent_vec[..., 0], tangent_vec[..., 1],
+                     tangent_vec[..., 2])
+    npx = (cphi * nvx + sphi * tvx) * inv_u
+    npy = (cphi * nvy + sphi * tvy) * inv_u
+    npz = (cphi * nvz + sphi * tvz) * inv_u
+    new_pos = jnp.stack([npx, npy, npz], axis=-1)
+    ddx = npx - px
+    ddy = npy - py
+    ddz = npz - pz
+    seg_len = jnp.sqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-20))
+    inv_seg = _rnorm(ddx, ddy, ddz)
+    new_dir = jnp.stack([ddx * inv_seg, ddy * inv_seg, ddz * inv_seg],
+                        axis=-1)
 
     # --- segment intersection + shading (frag:930-932) ---
     hit = intersect_scene(state.pos, new_dir, seg_len, sc, r_s, test_ray)
@@ -397,14 +430,22 @@ def _prepare(sc, cam, cfg, background, tex, r_s, rows=None):
 
     march_px = ~flat_px & ~noise_skip
 
-    # Initial orbital-plane state (frag:883-887).
-    tangent_vec0 = geo.safe_normalize(
-        geo.cross(geo.cross(normal_vec0, direction), normal_vec0)
-    )
-    u0 = 1.0 / geo.safe_length(origin)
-    dt0 = geo.dot(direction, tangent_vec0)
-    dt0 = jnp.where(jnp.abs(dt0) < 1e-12, 1e-12, dt0)  # see _march_step guard
-    du0 = -u0 * geo.dot(direction, normal_vec0) / dt0
+    # Initial orbital-plane state (frag:883-887) — via the kernels' shared
+    # plane-wise helpers so the twin's init is bit-identical to
+    # kernel._init_bh_state (see the geodesic-arithmetic note in
+    # _march_step).
+    from .kernel import _dot3, _rnorm, _tangent_of
+
+    ox, oy, oz = origin[..., 0], origin[..., 1], origin[..., 2]
+    dxc, dyc, dzc = direction[..., 0], direction[..., 1], direction[..., 2]
+    inv_len_o = _rnorm(ox, oy, oz)
+    n0x, n0y, n0z = ox * inv_len_o, oy * inv_len_o, oz * inv_len_o
+    t0x, t0y, t0z, nd0 = _tangent_of(n0x, n0y, n0z, dxc, dyc, dzc)
+    u0 = inv_len_o
+    dt0 = _dot3(t0x, t0y, t0z, dxc, dyc, dzc)
+    du0 = -u0 * nd0 / jnp.where(jnp.abs(dt0) < 1e-12, 1e-12, dt0)
+    tangent_vec0 = jnp.stack([t0x, t0y, t0z], axis=-1)
+    normal_vec0 = jnp.stack([n0x, n0y, n0z], axis=-1)
 
     state = MarchState(
         active=march_px,
