@@ -8,24 +8,30 @@ Setup:
     textured HollowDisk (the accretion disk,
     /root/reference/src/lib/Objects/HollowDisk/hollowDisk.h:23-24), earth /
     moon / sun spheres, point light; the real 2k Milky Way background.
-  * views  — TWO, with a KNOWN metric baseline between them
-    (inverse.make_multiview_loss): breaks the monocular mass/distance gauge
-    that stalled INVERSE_r04 (shadow angular size ~ r_s/|cam| pins only the
-    ratio; parallax over a known baseline pins |cam|, then the shadow pins
-    r_s).
+  * views  — THREE, with KNOWN metric baselines between them
+    (inverse.make_multiview_loss): parallax over known baselines breaks the
+    monocular mass/distance gauge that stalled INVERSE_r04 (shadow angular
+    size ~ r_s/|cam| pins only the ratio), and the third view adds texel
+    constraints (each view sees different disk texels through the
+    lensing).
   * params — ALL InverseParams free: r_s (softplus), camera position,
     orientation free vectors, fov, AND the disk layer's texels (init: flat
     0.5 gray — no truth leakage).
-  * optim  — staged coarse-to-fine: Gaussian-blur multi-scale loss with a
-    sigma schedule, early stages at HALF resolution (a sigma's basin is
-    sigma pixels wide), per-group Adam LRs, and texels strictly alternated
-    with pose (see the stage table in main()).
+  * optim  — pose+mass by CEM (cross-entropy population search, whole
+    population in one device call) on a DISK-MASKED Gaussian-blur
+    multi-view loss, coarse-to-fine 64^2 -> 128^2; texels by Adam at the
+    recovered pose; one sharp unmasked CEM polish with the fitted texture,
+    then a texel re-fit.  Every pure-gradient schedule tried (including
+    this harness's original staged-Adam table) diverged or stalled — see
+    inverse.cem_fit_pose's docstring.
   * renderer — "fast": Pallas march forward, scene-free Pallas adjoint
     backward; texel gradients flow through the traced-atlas compose path.
 
-Textures are downsampled (default 512x256) so the per-step traced atlas
-rebuild stays small; the truth targets are rendered with the SAME stack, so
-recovery is exact-in-the-limit.  Texture PSNR is reported over (a) the
+Textures are downsampled (default 256x128, --factor) so the per-step
+traced atlas rebuild stays small AND the texel problem stays determined
+(see --factor's help); the truth targets are rendered with the SAME stack,
+so recovery is exact-in-the-limit.  Texel stages render at --tex-size
+(default 2x the pose resolution) for more pixel constraints per texel.  Texture PSNR is reported over (a) the
 SAMPLED texel mask (texels any ray actually touched — unsampled texels get
 no gradient and honestly stay at init) and (b) the full true region, with
 the coverage fraction; the r5 gate is (a) >= 25 dB.
@@ -92,8 +98,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=128,
                     help="fine resolution; pose stages start at size/2")
-    ap.add_argument("--factor", type=int, default=4,
-                    help="texture downsample factor (2048x1024 / factor)")
+    ap.add_argument("--factor", type=int, default=8,
+                    help="texture downsample factor (2048x1024 / factor). "
+                         "8 keeps the texel-recovery problem DETERMINED: at "
+                         "factor 4 the sampled disk texels (~33k) outnumber "
+                         "the disk-lit pixel constraints (~6k at 128^2) and "
+                         "Adam drives the image loss down 7x while the "
+                         "texels overfit (12.9 dB PSNR, first r5 run)")
+    ap.add_argument("--tex-size", type=int, default=None,
+                    help="render resolution of the TEXEL stages (default "
+                         "2*size): more pixels = more constraints per texel")
     ap.add_argument("--out", default="/root/repo/INVERSE_r05.json")
     ap.add_argument("--max-steps", type=int, default=100)
     args = ap.parse_args()
@@ -102,6 +116,7 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     N = args.size
     N_coarse = N // 2
+    N_tex = args.tex_size or 2 * N
     factor = args.factor
     sc = configs._orbiting_planets_scene()
     cam_true = configs.demo_camera()
@@ -111,9 +126,12 @@ def main():
     cfgs = {n: st.RenderConfig(width=n, height=n, max_steps=args.max_steps,
                                percent_black=-1.0, horizon_softness=0.1,
                                checkpoint_every=0)
-            for n in (N_coarse, N)}
+            for n in (N_coarse, N, N_tex)}
     cfg = cfgs[N]
-    offsets = [(0.0, 0.0, 0.0), (5.0, 0.0, -3.0)]
+    # THREE views with known metric baselines: the 3rd adds constraints for
+    # the texel stage (each view sees different disk texels through the
+    # lensing) on top of the 2-view parallax that pins |cam| and r_s.
+    offsets = [(0.0, 0.0, 0.0), (5.0, 0.0, -3.0), (-4.0, 2.5, -1.0)]
 
     # Truth targets: r_s = 1, true pose, true disk texture — both views, at
     # BOTH resolutions (the pose stages run coarse-to-fine; a blur sigma is
@@ -144,78 +162,126 @@ def main():
         + jnp.asarray([0.02, -0.015, 0.01], jnp.float32))
     init_layer = np.asarray(params.disk_texture)
 
-    # Staged optimization (the r5 experiment outcome; every earlier single-
-    # schedule attempt failed a different way):
-    #   * Gaussian-BLUR multi-scale loss, NOT pooling — blur keeps subpixel
-    #     localization (make_multiview_loss blur_sigmas docstring);
-    #   * coarse-to-fine in BOTH sigma and RESOLUTION — a sigma's basin is
-    #     sigma PIXELS wide, so early stages run at N/2 where the initial
-    #     pose error is safely inside it;
-    #   * per-GROUP Adam LRs — orientation raws move the image ~1 deg per
-    #     2e-2 step, 20x the equivalent position step; one global LR either
-    #     thrashes the orientation or freezes the position;
-    #   * texels strictly ALTERNATED with pose (frozen complements): joint
-    #     steps let the texture absorb pose error (measured PSNR drop), and
-    #     a flat-gray disk drags the pose at sharp sigmas.
+    # Staged optimization (the r5 experiment outcome; every pure-Adam
+    # schedule tried — including the staged coarse-to-fine table this
+    # harness first shipped with — failed a different way: the same
+    # schedule that converges at 64^2/40 steps diverges to a wrong basin at
+    # 128^2, and r_s stalls ~0.75 under the blur schedule):
+    #   * POSE + MASS by CEM (inverse.cem_fit_pose): derivative-free
+    #     population search on the Gaussian-blur multi-view loss, the whole
+    #     population evaluated in ONE device call; insensitive to the basin
+    #     fragility that broke every gradient schedule;
+    #   * DISK pixels masked out of the pose objective (view_weights): with
+    #     flat-init texels their mismatch biases the pose minimum by ~0.3
+    #     world units (measured);
+    #   * TEXELS by Adam at the recovered pose (the texel subproblem is
+    #     near-linear least squares — gradients are the right tool there);
+    #   * one final sharp CEM polish with the FITTED texture (mask off),
+    #     then a texel re-fit.
     import optax
 
-    P = dict(mass=2e-2, pos=2e-2, orient=1e-3, fov=5e-2)
+    def disk_weights(p, n, sigma=6.0):
+        """Disk-influence mask at the CURRENT pose estimate: pixels whose
+        color changes between two flat disk colorings are disk-lit;
+        blur-dilate by ~sigma and keep the complement."""
+        @jax.jit
+        def one(p):
+            cam, r_s, _ = inverse.realize(p, tex, disk_slot)
+            maps = []
+            for off in offsets:
+                cam_i = cam._replace(pos=cam.pos
+                                     + jnp.asarray(off, jnp.float32))
+                imgs = []
+                for c in (0.25, 0.75):
+                    tex_c = inverse.realize(
+                        p._replace(disk_texture=jnp.full_like(
+                            p.disk_texture, c)), tex, disk_slot)[2]
+                    imgs.append(render_fast(sc, cam_i, cfgs[n], bg, tex_c,
+                                            r_s, overflow="ignore"))
+                m = jnp.abs(imgs[0] - imgs[1]).max(-1) > 1.0 / 255.0
+                dil = inverse.gaussian_blur(
+                    m.astype(jnp.float32)[..., None], sigma)[..., 0]
+                maps.append((dil < 0.02).astype(jnp.float32))
+            return maps
+        return [np.asarray(w) for w in one(p)]
 
-    def sc_lr(f):
-        return {k: v * f for k, v in P.items()}
+    def pose_metrics(p):
+        cam_f, r_s_f, _ = inverse.realize(p, tex, disk_slot)
+        pe = float(np.linalg.norm(np.asarray(cam_f.pos)
+                                  - np.asarray(cam_true.pos)))
+        return float(r_s_f), pe
+
+    def cem_stage(name, p, n_img, sigmas, n_iters, std_scale, seed,
+                  masked=True):
+        w = disk_weights(p, n_img) if masked else None
+        loss_fn = inverse.make_multiview_loss(
+            sc, cfgs[n_img], bg, tex, disk_slot, targets[n_img], offsets,
+            renderer="fast", blur_sigmas=sigmas, view_weights=w)
+        t0 = time.time()
+        p, info = inverse.cem_fit_pose(
+            loss_fn, p, n_iters=n_iters, pop=64, elite=16,
+            init_std=inverse.CEM_DEFAULT_STD * std_scale, seed=seed,
+            log_fn=log)
+        r_s_f, pe = pose_metrics(p)
+        log(f"{name}: best {info['best_loss']:.6f} r_s {r_s_f:.4f} "
+            f"pos_err {pe:.3f} ({time.time() - t0:.0f}s)")
+        return p, info
+
+    def texel_stage(name, p, lr, steps, sigmas=(0.0,)):
+        loss_fn = inverse.make_multiview_loss(
+            sc, cfgs[N_tex], bg, tex, disk_slot, targets[N_tex], offsets,
+            renderer="fast", blur_sigmas=sigmas)
+        labels = inverse.InverseParams(
+            r_s_raw="frozen", cam_pos="frozen", cam_fwd_raw="frozen",
+            cam_right_raw="frozen", fov="frozen", disk_texture="tex")
+        optimizer = optax.chain(
+            inverse.zero_nonfinite(),
+            optax.multi_transform({"tex": optax.adam(lr),
+                                   "frozen": optax.set_to_zero()}, labels))
+        opt_state = optimizer.init(p)
+        train_step = inverse.make_train_step(loss_fn, optimizer)
+        p, opt_state, loss = train_step(p, opt_state)  # compile
+        hist = [float(loss)]
+        t0 = time.time()
+        for _ in range(steps - 1):
+            p, opt_state, loss = train_step(p, opt_state)
+            hist.append(float(loss))
+        jax.block_until_ready(p)
+        dt = time.time() - t0
+        log(f"{name}: loss {hist[0]:.6f} -> {hist[-1]:.6f} "
+            f"({dt / max(steps - 1, 1) * 1e3:.0f} ms/step)")
+        return p, opt_state, hist, dt
 
     stages = [
-        ("S1 pose  @%d (8,2)" % N_coarse, N_coarse, (8.0, 2.0), sc_lr(1.0),
-         150),
-        ("S2 pose  @%d (4,1)" % N_coarse, N_coarse, (4.0, 1.0), sc_lr(0.5),
-         100),
-        ("S3 pose  @%d (2,.5)" % N_coarse, N_coarse, (2.0, 0.5),
-         sc_lr(0.25), 100),
-        ("S4 pose  @%d (4,1)" % N, N, (4.0, 1.0), sc_lr(0.25), 100),
-        ("S5 pose  @%d (2,.5)" % N, N, (2.0, 0.5), sc_lr(0.125), 100),
-        ("S6 texel @%d" % N, N, (0.0,), dict(tex=3e-2), 200),
-        ("S7 pose  @%d (2,.5)" % N, N, (2.0, 0.5), sc_lr(0.06), 100),
-        ("S8 texel @%d" % N, N, (0.0,), dict(tex=1e-2), 200),
+        dict(name="P1 cem pose @%d (8,2) masked" % N_coarse, kind="cem",
+             res=N_coarse, sigmas=(8.0, 2.0), iters=40, std=1.0),
+        dict(name="P2 cem pose @%d (2,.5) masked" % N, kind="cem", res=N,
+             sigmas=(2.0, 0.5), iters=25, std=0.15),
+        dict(name="T1 texel @%d" % N_tex, kind="texel", lr=3e-2, steps=250),
+        dict(name="P3 cem polish @%d (1,0) unmasked" % N, kind="cem",
+             res=N, sigmas=(1.0, 0.0), iters=15, std=0.05, masked=False),
+        dict(name="T2 texel @%d" % N_tex, kind="texel", lr=1e-2, steps=250),
     ]
-    n_steps = sum(s[-1] for s in stages)
-
-    def stage_optimizer(lrs):
-        lab = lambda k: k if k in lrs else "frozen"
-        labels = inverse.InverseParams(
-            r_s_raw=lab("mass"), cam_pos=lab("pos"),
-            cam_fwd_raw=lab("orient"), cam_right_raw=lab("orient"),
-            fov=lab("fov"), disk_texture=lab("tex"))
-        tx = {k: optax.adam(v) for k, v in lrs.items()}
-        tx["frozen"] = optax.set_to_zero()
-        return optax.chain(
-            inverse.zero_nonfinite(),
-            optax.clip_by_global_norm(1.0),
-            optax.multi_transform(tx, labels))
 
     history = []
     t_steps = 0.0
+    n_adam_steps = 0
     opt_state = None
-    for sname, n_img, sigmas, lrs, pn in stages:
-        loss_fn = inverse.make_multiview_loss(
-            sc, cfgs[n_img], bg, tex, disk_slot, targets[n_img], offsets,
-            renderer="fast", blur_sigmas=sigmas)
-        optimizer = stage_optimizer(lrs)
-        opt_state = optimizer.init(params)
-        train_step = inverse.make_train_step(loss_fn, optimizer)
-        params, opt_state, loss = train_step(params, opt_state)  # compile
-        history.append(float(loss))
-        t0 = time.time()
-        for step in range(1, pn):
-            params, opt_state, loss = train_step(params, opt_state)
-            history.append(float(loss))
-        jax.block_until_ready(params)
-        t_steps += time.time() - t0
-        cam_f, r_s_f, _ = inverse.realize(params, tex, disk_slot)
-        pe = float(np.linalg.norm(np.asarray(cam_f.pos)
-                                  - np.asarray(cam_true.pos)))
-        log(f"{sname}: loss {float(loss):.6f} r_s {float(r_s_f):.4f} "
-            f"pos_err {pe:.3f}")
-    per_step_ms = t_steps / max(n_steps - len(stages), 1) * 1e3
+    seed = 0
+    for s in stages:
+        if s["kind"] == "cem":
+            params, info = cem_stage(s["name"], params, s["res"],
+                                     s["sigmas"], s["iters"], s["std"],
+                                     seed, masked=s.get("masked", True))
+            seed += 1
+        else:
+            params, opt_state, hist, dt = texel_stage(
+                s["name"], params, s["lr"], s["steps"])
+            history.extend(hist)
+            t_steps += dt
+            n_adam_steps += s["steps"]
+    n_steps = n_adam_steps
+    per_step_ms = t_steps / max(n_adam_steps - 2, 1) * 1e3
 
     cam_fit, r_s_fit, _ = inverse.realize(params, tex, disk_slot)
     r_s_fit = float(r_s_fit)
@@ -236,7 +302,7 @@ def main():
         for off in offsets:
             cam_i = cam._replace(pos=cam.pos
                                  + jnp.asarray(off, jnp.float32))
-            img = render_fast(sc, cam_i, cfg, bg, tex_p, r_s,
+            img = render_fast(sc, cam_i, cfgs[N_tex], bg, tex_p, r_s,
                               overflow="ignore", differentiable=True)
             total = total + jnp.sum(img)
         return total
@@ -266,7 +332,7 @@ def main():
     # across stages — each blurs differently): the last-stage tail must
     # settle near that stage's minimum (r04 weak #4: constant LR oscillated
     # 10x past the min).
-    last_n = stages[-1][-1]
+    last_n = stages[-1]["steps"]
     stage_hist = np.asarray(history[-last_n:])
     tail = stage_hist[-40:]
     tail_ratio = float(tail.mean() / max(stage_hist.min(), 1e-12))
@@ -279,16 +345,16 @@ def main():
         "round": 5, "device": str(jax.devices()[0]),
         "config": f"config5 planets scene, 2 views (known baseline "
                   f"{offsets[1]}), max_steps={args.max_steps}, "
-                  f"horizon_softness=0.1, Gaussian-blur multi-scale loss, "
-                  f"coarse-to-fine {N_coarse}^2 -> {N}^2 with sigma "
-                  f"schedule (8,2)->(4,1)->(2,.5), per-group Adam LRs, "
-                  f"texels strictly alternated with pose "
-                  f"({len(stages)} stages, {n_steps} steps total), "
-                  f"renderer=fast (Pallas fwd + scene-free Pallas adjoint); "
+                  f"horizon_softness=0.1; pose+mass by CEM "
+                  f"(disk-masked Gaussian-blur multi-view loss, population "
+                  f"batched in one device call) {N_coarse}^2 -> {N}^2, "
+                  f"texels by Adam at the recovered pose, final sharp CEM "
+                  f"polish with the fitted texture; renderer=fast (Pallas "
+                  f"fwd + scene-free Pallas adjoint for texel grads); "
                   f"free: r_s, cam pos, orientation, fov, disk texels "
                   f"(saturn-ring layer at {tw}x{th}, init flat 0.5)",
-        "stages": [dict(name=s[0], res=s[1], sigmas=list(s[2]),
-                        lrs=s[3], steps=s[4]) for s in stages],
+        "stages": [{k: (list(v) if isinstance(v, tuple) else v)
+                    for k, v in s.items()} for s in stages],
         "start": {"r_s": 0.7, "cam_pos_err": pos_err0,
                   "disk_psnr_sampled_db": psnr_init},
         "recovered": {

@@ -173,7 +173,8 @@ def make_multiview_loss(sc: Scene, cfg: RenderConfig, background: Texture,
                         tex: Optional[TextureStack],
                         disk_slot: Optional[int], targets, cam_offsets,
                         renderer: str = "fast", pyramid=(1,),
-                        blur_sigmas=None, interpret: bool = False):
+                        blur_sigmas=None, interpret: bool = False,
+                        view_weights=None):
     """Mean MSE over V views; view i renders from the optimized camera
     TRANSLATED by the known world-space offset ``cam_offsets[i]``.
 
@@ -199,6 +200,16 @@ def make_multiview_loss(sc: Scene, cfg: RenderConfig, background: Texture,
     precision limit, while blur(8)+blur(2) recovered the pose).
     ``pyramid`` (average-pool factors, e.g. (1, 4, 16)) is kept for
     comparison; ignored when ``blur_sigmas`` is given.
+
+    ``view_weights``: optional list of V (H, W) f32 maps multiplying each
+    view's squared-difference image (normalized by the weight mean, so the
+    loss scale is comparable with and without).  The config-5 harness uses
+    this to mask DISK-influenced pixels out of the pose objective: with the
+    disk texels unknown (flat init), their mismatch against the true
+    texture BIASES the pose minimum by ~0.3 world units (measured r5); a
+    weight map computed by differencing two flat disk colorings at the
+    current pose estimate zeroes those pixels so the pose is pinned by the
+    shadow, the lensed starfield, and the planets alone.
     """
     if len(targets) != len(cam_offsets):
         raise ValueError("one camera offset per target view")
@@ -222,15 +233,26 @@ def make_multiview_loss(sc: Scene, cfg: RenderConfig, background: Texture,
         levels = list(pyramid)
         lvl_of = lambda img, k: img if k == 1 else _avg_pool(img, k)
     tgt_pyr = [[lvl_of(jnp.asarray(t), k) for k in levels] for t in targets]
+    if view_weights is not None:
+        if len(view_weights) != len(targets):
+            raise ValueError("one weight map per target view")
+        wts = [jnp.asarray(w, jnp.float32)[..., None] for w in view_weights]
+    else:
+        wts = [None] * len(targets)
 
     def loss_fn(params: InverseParams):
         cam, r_s, tex_p = realize(params, tex, disk_slot)
         total = jnp.float32(0.0)
-        for tgts, off in zip(tgt_pyr, offs):
+        for tgts, off, w in zip(tgt_pyr, offs, wts):
             cam_i = cam._replace(pos=cam.pos + off)
             img = render_any(sc, cam_i, cfg, background, tex_p, r_s=r_s)
             for k, tgt in zip(levels, tgts):
-                total = total + jnp.mean((lvl_of(img, k) - tgt) ** 2)
+                d2 = (lvl_of(img, k) - tgt) ** 2
+                if w is None:
+                    total = total + jnp.mean(d2)
+                else:
+                    total = total + (jnp.mean(w * d2)
+                                     / jnp.maximum(jnp.mean(w), 1e-6))
         return total / (len(targets) * len(levels))
 
     return loss_fn

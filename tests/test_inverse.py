@@ -124,6 +124,36 @@ def test_multiview_loss_breaks_scale_gauge_mechanics():
         assert (leaf != 0).any(), name
 
 
+def test_multiview_loss_view_weights():
+    """view_weights: all-ones weights reproduce the unweighted loss; a
+    zero-weighted region contributes no gradient (the config-5 harness
+    masks disk-influenced pixels out of the pose objective this way)."""
+    sc, cam, bg, tex = _setup()
+    offs = [(0.0, 0.0, 0.0)]
+    target = [st.render(sc, cam, CFG, bg, tex, r_s=1.0)]
+    p0 = inverse.init_params(cam, 0.8, tex, disk_slot=0)
+    p0 = p0._replace(disk_texture=p0.disk_texture * 0.6)
+
+    base = inverse.make_multiview_loss(sc, CFG, bg, tex, 0, target, offs,
+                                       renderer="jnp")
+    ones = inverse.make_multiview_loss(
+        sc, CFG, bg, tex, 0, target, offs, renderer="jnp",
+        view_weights=[np.ones((CFG.height, CFG.width), np.float32)])
+    np.testing.assert_allclose(float(base(p0)), float(ones(p0)), rtol=1e-5)
+
+    # Zero out the whole image -> loss 0 and zero texel gradient.
+    zeros = inverse.make_multiview_loss(
+        sc, CFG, bg, tex, 0, target, offs, renderer="jnp",
+        view_weights=[np.zeros((CFG.height, CFG.width), np.float32)])
+    val, g = jax.value_and_grad(zeros)(p0)
+    assert float(val) == 0.0
+    assert not np.asarray(g.disk_texture).any()
+
+    with pytest.raises(ValueError):
+        inverse.make_multiview_loss(sc, CFG, bg, tex, 0, target, offs,
+                                    renderer="jnp", view_weights=[])
+
+
 def test_cem_fit_pose_finds_known_minimum():
     """cem_fit_pose: the derivative-free pose searcher recovers a known
     11-dim optimum of a synthetic loss (machinery test; the INVERSE_r05
